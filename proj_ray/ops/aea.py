@@ -1,0 +1,1 @@
+"""Placeholder — operations to be implemented."""
