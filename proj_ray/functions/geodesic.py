@@ -488,11 +488,12 @@ class Geodesic:
         if np.any(meridian):
             mi = meridian
             ca1 = clam12[mi]
-            sa1 = slam12[mi]
+            sa1 = slam12[mi]  # head to target longitude
+            # at the target we're heading north: salp2=0, calp2=1
             ssig1 = sbet1[mi]
             csig1 = ca1 * cbet1[mi]
             ssig2 = sbet2[mi]
-            csig2 = ca1 * cbet2[mi]
+            csig2 = cbet2[mi]
             sig12m = np.arctan2(
                 np.maximum(csig1 * ssig2 - ssig1 * csig2, 0.0),
                 csig1 * csig2 + ssig1 * ssig2)
@@ -503,8 +504,8 @@ class Geodesic:
             s12[mi] = np.where(valid, s12b * self.b, np.nan)
             salp1[mi] = sa1
             calp1[mi] = ca1
-            salp2[mi] = sa1
-            calp2[mi] = ca1
+            salp2[mi] = 0.0
+            calp2[mi] = 1.0
             done[mi] = valid
 
         # equatorial

@@ -68,20 +68,17 @@ def pipeline_ellipsoid(defn: str) -> Ellipsoid:
 
 
 def geodesic_deviation(ell: Ellipsoid, lam1, phi1, lam2, phi2) -> float:
-    """Local-metric geodesic distance between two nearby angular coords
-    (radians).  Exact to O(d^2/R) — indistinguishable from the Karney
-    distance at gie tolerances (mm and below); see proj_lp_dist
-    (src/4D_api.cpp:138-148) for the reference metric."""
+    """Karney geodesic distance between two angular coords (radians) on
+    the operation's ellipsoid — the reference metric of proj_lp_dist
+    (src/4D_api.cpp:138-148)."""
     if np.isnan([lam1, phi1, lam2, phi2]).any():
         return np.inf
-    phim = 0.5 * (phi1 + phi2)
-    sin2 = np.sin(phim) ** 2
-    w2 = 1.0 - ell.es * sin2
-    M = ell.a * (1 - ell.es) / w2 ** 1.5  # meridional radius
-    N = ell.a / np.sqrt(w2)  # prime-vertical radius
-    dphi = phi2 - phi1
-    dlam = float(m.adjlon(np.array([lam2 - lam1]))[0])
-    return float(np.hypot(M * dphi, N * np.cos(phim) * dlam))
+    from proj_ray.functions.geodesic import geodesic
+
+    g = geodesic(ell.a, ell.f)
+    s12, _, _ = g.inverse(np.degrees(phi1), np.degrees(lam1),
+                          np.degrees(phi2), np.degrees(lam2))
+    return float(s12)
 
 
 @dataclass

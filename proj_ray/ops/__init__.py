@@ -30,6 +30,7 @@ from proj_ray.ops import (  # noqa: F401,E402
     conic_misc,
     gridshift,
     sterea,
+    cass,
     horner,
     topocentric,
     geodesic_ops,

@@ -1,0 +1,61 @@
+"""Generic 2-D Newton-Raphson inverse from any forward kernel
+(reference src/generic_inverse.cpp:33-117): numeric Jacobian, correction
+clamped to +/-0.3 rad, 15 iterations, vectorized with per-row masks.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from proj_ray.core import mathops as m
+from proj_ray.core.coords import Coords
+
+
+def _eval_fwd(op, lam, phi):
+    c = Coords(lam.copy(), phi.copy())
+    with np.errstate(all="ignore"):
+        op._fwd(c)
+    return c.x, c.y
+
+
+def generic_inverse_2d(op, x, y, lam_init, phi_init, tol=1e-12, iters=15):
+    """Vectorized Newton inverse; returns (lam, phi); NaN on failure."""
+    lam = np.array(lam_init, dtype=np.float64).copy()
+    phi = np.array(phi_init, dtype=np.float64).copy()
+    dlamX = np.zeros_like(lam)
+    dlamY = np.zeros_like(lam)
+    dphiX = np.zeros_like(lam)
+    dphiY = np.zeros_like(lam)
+    done = np.zeros(lam.shape, dtype=bool)
+    for i in range(iters):
+        fx, fy = _eval_fwd(op, lam, phi)
+        deltaX = fx - x
+        deltaY = fy - y
+        done |= (np.abs(deltaX) < tol) & (np.abs(deltaY) < tol)
+        if np.all(done):
+            break
+        need_jac = (i == 0) | (np.abs(deltaX) > 1e-6) | (np.abs(deltaY) > 1e-6)
+        if np.any(need_jac):
+            dLam = np.where(lam > 0, -1e-6, 1e-6)
+            fx2, fy2 = _eval_fwd(op, lam + dLam, phi)
+            dXdlam = (fx2 - fx) / dLam
+            dYdlam = (fy2 - fy) / dLam
+            dPhi = np.where(phi > 0, -1e-6, 1e-6)
+            fx3, fy3 = _eval_fwd(op, lam, phi + dPhi)
+            dXdphi = (fx3 - fx) / dPhi
+            dYdphi = (fy3 - fy) / dPhi
+            det = dXdlam * dYdphi - dXdphi * dYdlam
+            upd = need_jac & (det != 0) & ~done
+            with np.errstate(all="ignore"):
+                dlamX = np.where(upd, dYdphi / det, dlamX)
+                dlamY = np.where(upd, -dXdphi / det, dlamY)
+                dphiX = np.where(upd, -dYdlam / det, dphiX)
+                dphiY = np.where(upd, dXdlam / det, dphiY)
+        step_lam = np.clip(deltaX * dlamX + deltaY * dlamY, -0.3, 0.3)
+        step_phi = np.clip(deltaX * dphiX + deltaY * dphiY, -0.3, 0.3)
+        lam = np.where(done | (x == 0), lam,
+                       np.clip(lam - step_lam, -m.M_PI, m.M_PI))
+        phi = np.where(done | (y == 0), phi,
+                       np.clip(phi - step_phi, -m.M_HALFPI, m.M_HALFPI))
+    lam = np.where(done, lam, np.where(np.isnan(x), np.nan, lam))
+    return lam, phi, done
