@@ -1,0 +1,142 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Headline: the flagship pipeline (doc synth -> span extraction -> webmerc
+transform -> cell encode -> PIP join -> tile assembly) over a
+deterministic interleaved doc corpus (sandbox stand-in for the 10^12-doc
+Lance corpus), reported as wall seconds + docs/sec.
+
+Also times a representative set of per-operator pipelines over
+$GRAFT_SF_DIR (default /root/testdata/sf0.1).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": seconds, "unit": "sec",
+   "queries": {...}, "sf": ..., "num_cpus": N, ...}
+
+`bench.py --scaling` runs the headline twice in fresh processes at
+num_cpus=8 and num_cpus=32 on the same input and reports throughputs +
+scaling efficiency (the sandbox substitute for N vs 4N nodes).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+BENCH_DOCS = int(os.environ.get("GRAFT_BENCH_DOCS", "1000000"))
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+QUERY_NAMES = [
+    "span_coords",
+    "webmerc_project",
+    "utm_project",
+    "cell_histogram",
+    "tile_histogram",
+    "rect_join",
+    "knn_haversine",
+    "cart_helmert",
+    "pip_polygons",
+    "text_stats",
+    "exact_dedup",
+    "ann_topk",
+    "events_window",
+    "lineitem_agg",
+]
+
+
+def consume(res) -> int:
+    """Force full execution; return row count."""
+    import pandas as pd
+    import pyarrow as pa
+
+    if isinstance(res, pd.DataFrame):
+        return len(res)
+    if isinstance(res, pa.Table):
+        return res.num_rows
+    n = 0
+    for batch in res.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        n += batch.num_rows
+    return n
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    import ray.data
+
+    ctx = ray.data.DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    from proj_ray.pipelines.flagship import flagship
+    from proj_ray.pipelines.queries import build_queries
+
+    # warm the page cache / workers with one small untimed run
+    consume(flagship(n_docs=10000, concurrency=2, parallelism=4))
+
+    # ~40k docs per block: large enough that task overhead amortizes,
+    # small enough that every core gets work
+    parallelism = max(NUM_CPUS * 2, BENCH_DOCS // 40000)
+    t0 = time.perf_counter()
+    out = flagship(n_docs=BENCH_DOCS, concurrency=max(2, NUM_CPUS - 4),
+                   parallelism=parallelism)
+    n_tiles = consume(out)
+    headline = time.perf_counter() - t0
+
+    queries = build_queries()
+    qtimes = {}
+    for name in QUERY_NAMES:
+        t0 = time.perf_counter()
+        n = consume(queries[name](SF_DIR))
+        qtimes[name] = round(time.perf_counter() - t0, 3)
+    ray.shutdown()
+
+    return {
+        "metric": "flagship transform->join->tile wall time "
+                  f"({BENCH_DOCS} docs)",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "bench_docs": BENCH_DOCS,
+        "docs_per_sec": round(BENCH_DOCS / headline, 1),
+        "tiles": n_tiles,
+    }
+
+
+def run_scaling() -> dict:
+    out = {}
+    for ncpu in (8, 32):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env.pop("RAY_ADDRESS", None)
+        proc = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                              env=env, capture_output=True, text=True,
+                              check=True)
+        res = json.loads(proc.stdout.strip().splitlines()[-1])
+        out[ncpu] = res
+    t8 = out[8]["value"]
+    t32 = out[32]["value"]
+    eff = (t8 / t32) / (32 / 8)
+    return {
+        "metric": "scaling efficiency (8 -> 32 cpus, fresh sessions)",
+        "sec_8": t8,
+        "sec_32": t32,
+        "docs_per_sec_8": out[8]["docs_per_sec"],
+        "docs_per_sec_32": out[32]["docs_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "bench_docs": out[32]["bench_docs"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

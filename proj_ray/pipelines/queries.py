@@ -1,0 +1,786 @@
+"""The engine's query surface: one callable per implemented operator /
+pipeline (SURVEY.md §2), each with a matching DuckDB oracle SQL string
+where the semantics are SQL-expressible.
+
+Contract (driver): callable(sf_dir) -> Dataset | DataFrame | pa.Table;
+oracle runs over pre-registered views of the same parquet tables.
+Column names MATCH between engine and SQL.  Floating outputs that pass
+through libm (trig/log) are rounded identically on both sides; integer /
+bitwise-reproducible outputs are compared exactly.
+
+Ray is initialised by the DRIVER — nothing here calls ray.init().
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from proj_ray.docs.spans import extract_coords_batch
+from proj_ray.docs.synth import doc_dataset_from_documents, sql_coords_cte
+from proj_ray.pipeline import create_operation, transform_arrays
+from proj_ray.spatial.cells import grid_cell, sql_grid_cell_expr
+from proj_ray.spatial.join import rect_join_batch
+from proj_ray.spatial.knn import (
+    haversine_m,
+    make_queries,
+    sql_haversine_expr,
+    sql_queries_cte,
+)
+from proj_ray.spatial.pip import make_rects, sql_rects_cte
+from proj_ray.spatial.tiles import sql_tile_exprs, tile_xy
+
+A_WGS84 = 6378137.0
+
+
+# ---------------------------------------------------------------------------
+# shared building blocks
+# ---------------------------------------------------------------------------
+
+
+def _doc_id_to_int(tbl: pa.Table) -> pa.Table:
+    """doc-%012d string -> int64 (matches the oracle's raw doc_id)."""
+    ints = pc.cast(pc.utf8_slice_codeunits(tbl.column("doc_id"), 4, 99),
+                   pa.int64())
+    cols = {n: tbl.column(n) for n in tbl.column_names}
+    cols["doc_id"] = ints
+    return pa.table(cols)
+
+
+def coords_dataset(sf_dir: str):
+    """documents.parquet -> interleaved doc table -> exploded coord rows
+    with integer doc ids.  This IS the engine's ingest path: synthesis
+    and extraction run inside map_batches tasks, streaming."""
+    docs = doc_dataset_from_documents(sf_dir)
+    flat = docs.map_batches(extract_coords_batch, batch_format="pyarrow")
+    return flat.map_batches(_doc_id_to_int, batch_format="pyarrow")
+
+
+def _coords_sql(select: str, body: str = "") -> str:
+    return "WITH " + sql_coords_cte() + f" {body} SELECT {select}"
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def q_span_coords(sf_dir: str):
+    """Span explode + coordinate parse (the ingest kernel)."""
+    return coords_dataset(sf_dir)
+
+
+SQL_SPAN_COORDS = (
+    "WITH " + sql_coords_cte()
+    + " SELECT doc_id, off AS offset, lon, lat FROM coords"
+)
+
+
+def q_webmerc(sf_dir: str):
+    p = create_operation("+proj=webmerc +ellps=WGS84")
+
+    def project(batch: pa.Table) -> pa.Table:
+        c = transform_arrays(
+            p, batch.column("lon").to_numpy(zero_copy_only=False),
+            batch.column("lat").to_numpy(zero_copy_only=False))
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "offset": batch.column("offset"),
+            "x": pa.array(np.round(c.x, 3)),
+            "y": pa.array(np.round(c.y, 3)),
+        })
+
+    return coords_dataset(sf_dir).map_batches(project,
+                                              batch_format="pyarrow")
+
+
+SQL_WEBMERC = (
+    "WITH " + sql_coords_cte() + f"""
+ SELECT doc_id, off AS offset,
+        round({A_WGS84!r} * radians(lon), 3) AS x,
+        round({A_WGS84!r} * ln(tan(radians(lat)) + 1.0/cos(radians(lat))),
+              3) AS y
+ FROM coords"""
+)
+
+
+def q_merc_ell(sf_dir: str):
+    p = create_operation("+proj=merc +ellps=WGS84")
+
+    def project(batch: pa.Table) -> pa.Table:
+        c = transform_arrays(
+            p, batch.column("lon").to_numpy(zero_copy_only=False),
+            batch.column("lat").to_numpy(zero_copy_only=False))
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "offset": batch.column("offset"),
+            "x": pa.array(np.round(c.x, 3)),
+            "y": pa.array(np.round(c.y, 3)),
+        })
+
+    return coords_dataset(sf_dir).map_batches(project,
+                                              batch_format="pyarrow")
+
+
+_E_WGS84 = "0.0818191908426214943348024517538"  # sqrt(es), printed once
+# DuckDB 1.0 lacks asinh/atanh: asinh(x)=ln(x+sqrt(x*x+1)),
+# atanh(x)=0.5*ln((1+x)/(1-x))
+_ASINH_TAN = "ln(tan(radians(lat)) + sqrt(tan(radians(lat)) * " \
+    "tan(radians(lat)) + 1.0))"
+_ATANH_ESIN = (f"0.5 * ln((1.0 + {_E_WGS84} * sin(radians(lat))) / "
+               f"(1.0 - {_E_WGS84} * sin(radians(lat))))")
+SQL_MERC_ELL = (
+    "WITH " + sql_coords_cte() + f"""
+ SELECT doc_id, off AS offset,
+        round({A_WGS84!r} * radians(lon), 3) AS x,
+        round({A_WGS84!r} * ({_ASINH_TAN}
+              - {_E_WGS84} * {_ATANH_ESIN}), 3) AS y
+ FROM coords"""
+)
+
+
+def q_lcc(sf_dir: str):
+    defn = "+proj=lcc +ellps=WGS84 +lat_1=33 +lat_2=45 +lat_0=40 +lon_0=-97"
+    p = create_operation(defn)
+
+    def project(batch: pa.Table) -> pa.Table:
+        c = transform_arrays(
+            p, batch.column("lon").to_numpy(zero_copy_only=False),
+            batch.column("lat").to_numpy(zero_copy_only=False))
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "offset": batch.column("offset"),
+            "x": pa.array(np.round(c.x, 3)),
+            "y": pa.array(np.round(c.y, 3)),
+        })
+
+    return coords_dataset(sf_dir).map_batches(project,
+                                              batch_format="pyarrow")
+
+
+def _sql_lcc() -> str:
+    # constants computed with the engine's own setup (tested vs gie) —
+    # the SQL recomputes only the per-point part
+    from proj_ray.ops.lcc import Lcc
+    from proj_ray.ops.base import Params
+
+    op = Lcc(Params.parse(
+        "proj=lcc ellps=WGS84 lat_1=33 lat_2=45 lat_0=40 lon_0=-97"))
+    e = op.e
+    n = op.n
+    c = op.c
+    rho0 = op.rho0
+    a = op.a
+    lam0 = np.degrees(op.lam0)
+    atanh_es = (f"(0.5 * ln((1.0 + {e!r} * sin(radians(lat))) / "
+                f"(1.0 - {e!r} * sin(radians(lat)))))")
+    ts = (f"(cos(radians(lat)) / (1 + sin(radians(lat)))) * "
+          f"exp({e!r} * {atanh_es})")
+    # tsfn uses cos/(1+sin) for phi>0; (1-sin)/cos for phi<0
+    ts_neg = (f"((1 - sin(radians(lat))) / cos(radians(lat))) * "
+              f"exp({e!r} * {atanh_es})")
+    ts_expr = f"CASE WHEN sin(radians(lat)) > 0 THEN {ts} ELSE {ts_neg} END"
+    rho = f"({c!r} * pow({ts_expr}, {n!r}))"
+    # adjlon wrap of (lon - lon_0), in degrees (prepare semantics)
+    dlon = f"(lon - ({lam0!r}))"
+    wrapped = (f"(CASE WHEN {dlon} > 180.0 THEN {dlon} - 360.0 "
+               f"WHEN {dlon} < -180.0 THEN {dlon} + 360.0 "
+               f"ELSE {dlon} END)")
+    lamn = f"(radians({wrapped}) * {n!r})"
+    return (
+        "WITH " + sql_coords_cte() + f"""
+ SELECT doc_id, off AS offset,
+        round({a!r} * ({rho} * sin({lamn})), 3) AS x,
+        round({a!r} * ({rho0!r} - {rho} * cos({lamn})), 3) AS y
+ FROM coords"""
+    )
+
+
+def q_utm_zone32(sf_dir: str):
+    """UTM (Poder/Engsager exact series) — no SQL closed form; verified
+    by the gie corpus instead; driver records rows-only."""
+    p = create_operation("+proj=utm +zone=32 +ellps=WGS84")
+
+    def project(batch: pa.Table) -> pa.Table:
+        lon = batch.column("lon").to_numpy(zero_copy_only=False)
+        lat = batch.column("lat").to_numpy(zero_copy_only=False)
+        c = transform_arrays(p, lon, lat)
+        t = pa.table({
+            "doc_id": batch.column("doc_id"),
+            "offset": batch.column("offset"),
+            "x": pa.array(np.round(c.x, 3)),
+            "y": pa.array(np.round(c.y, 3)),
+            "ok": pa.array(c.err == 0),
+        })
+        return t
+
+    return coords_dataset(sf_dir).map_batches(project,
+                                              batch_format="pyarrow")
+
+
+def q_cell_assign(sf_dir: str):
+    def assign(batch: pa.Table) -> pa.Table:
+        cell = grid_cell(batch.column("lon").to_numpy(zero_copy_only=False),
+                         batch.column("lat").to_numpy(zero_copy_only=False),
+                         5.0)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "offset": batch.column("offset"),
+            "cell": pa.array(cell),
+        })
+
+    return coords_dataset(sf_dir).map_batches(assign, batch_format="pyarrow")
+
+
+SQL_CELL_ASSIGN = (
+    "WITH " + sql_coords_cte()
+    + f" SELECT doc_id, off AS offset, {sql_grid_cell_expr('lon', 'lat', 5.0)}"
+      " AS cell FROM coords"
+)
+
+
+def q_tile_assign(sf_dir: str):
+    def assign(batch: pa.Table) -> pa.Table:
+        lon = batch.column("lon").to_numpy(zero_copy_only=False)
+        lat = batch.column("lat").to_numpy(zero_copy_only=False)
+        cols = {"doc_id": batch.column("doc_id"),
+                "offset": batch.column("offset")}
+        for z in (2, 8, 12):
+            tx, ty = tile_xy(lon, lat, z)
+            cols[f"tx{z}"] = pa.array(tx)
+            cols[f"ty{z}"] = pa.array(ty)
+        return pa.table(cols)
+
+    return coords_dataset(sf_dir).map_batches(assign, batch_format="pyarrow")
+
+
+def _sql_tiles() -> str:
+    parts = []
+    for z in (2, 8, 12):
+        txs, tys = sql_tile_exprs("lon", "lat", z)
+        parts.append(f"{txs} AS tx{z}, {tys} AS ty{z}")
+    return ("WITH " + sql_coords_cte()
+            + " SELECT doc_id, off AS offset, " + ", ".join(parts)
+            + " FROM coords")
+
+
+def q_tile_histogram(sf_dir: str):
+    """Tile assembly: count per z8 tile (groupby shuffle with per-batch
+    pre-aggregation)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lon = batch.column("lon").to_numpy(zero_copy_only=False)
+        lat = batch.column("lat").to_numpy(zero_copy_only=False)
+        tx, ty = tile_xy(lon, lat, 8)
+        tid = ty * 256 + tx
+        ids, counts = np.unique(tid, return_counts=True)
+        return pa.table({"tile": pa.array(ids),
+                         "n": pa.array(counts.astype(np.int64))})
+
+    from ray.data.aggregate import Sum
+
+    ds = coords_dataset(sf_dir).map_batches(partial, batch_format="pyarrow")
+    return ds.groupby("tile").aggregate(Sum("n", alias_name="n"))
+
+
+def _sql_tile_histogram() -> str:
+    txs, tys = sql_tile_exprs("lon", "lat", 8)
+    return ("WITH " + sql_coords_cte()
+            + f" SELECT ({tys}) * 256 + ({txs}) AS tile, "
+              "CAST(COUNT(*) AS BIGINT) AS n FROM coords GROUP BY 1")
+
+
+def q_cell_histogram(sf_dir: str):
+    """Skew detection histogram: exact count per cell."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cell = grid_cell(batch.column("lon").to_numpy(zero_copy_only=False),
+                         batch.column("lat").to_numpy(zero_copy_only=False),
+                         5.0)
+        ids, counts = np.unique(cell, return_counts=True)
+        return pa.table({"cell": pa.array(ids),
+                         "n": pa.array(counts.astype(np.int64))})
+
+    from ray.data.aggregate import Sum
+
+    ds = coords_dataset(sf_dir).map_batches(partial, batch_format="pyarrow")
+    return ds.groupby("cell").aggregate(Sum("n", alias_name="n"))
+
+
+SQL_CELL_HISTOGRAM = (
+    "WITH " + sql_coords_cte()
+    + f" SELECT {sql_grid_cell_expr('lon', 'lat', 5.0)} AS cell, "
+      "CAST(COUNT(*) AS BIGINT) AS n FROM coords GROUP BY 1"
+)
+
+
+def q_rect_join(sf_dir: str):
+    rects = make_rects(64)
+
+    def join(batch: pa.Table) -> pa.Table:
+        return rect_join_batch(batch, rects)
+
+    return coords_dataset(sf_dir).map_batches(join, batch_format="pyarrow")
+
+
+SQL_RECT_JOIN = (
+    "WITH " + sql_coords_cte() + ", " + sql_rects_cte()
+    + """ SELECT c.doc_id AS doc_id, c.off AS off, r.rect_id AS rect_id
+          FROM coords c JOIN rects r
+            ON c.lon >= r.lon_min AND c.lon < r.lon_max
+           AND c.lat >= r.lat_min AND c.lat < r.lat_max"""
+)
+
+
+def q_knn_haversine(sf_dir: str):
+    """Top-5 haversine neighbors for 50 fixed queries, deterministic
+    rank tie-break on (rounded distance, doc_id, off)."""
+    queries = make_queries(50)
+    from proj_ray.spatial.knn import BruteKNNJoiner
+    import ray
+
+    qref = ray.put(queries)
+    partial = coords_dataset(sf_dir).map_batches(
+        BruteKNNJoiner, fn_constructor_args=(qref, 5, "haversine"),
+        batch_format="pyarrow", batch_size=65536, concurrency=2)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        g["dist_r"] = np.round(g["dist_m"], 6)
+        g = g.sort_values(["dist_r", "doc_id", "off"]).head(5)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["query_id", "rank", "doc_id", "off", "dist_r"]]
+
+    return partial.groupby("query_id").map_groups(merge,
+                                                  batch_format="pandas")
+
+
+SQL_KNN = (
+    "WITH " + sql_coords_cte() + ", " + sql_queries_cte(50) + f""",
+ dists AS (
+    SELECT q.query_id, c.doc_id, c.off,
+           round({sql_haversine_expr('qlon', 'qlat', 'c.lon', 'c.lat')}, 6)
+               AS dist_r
+    FROM queries q CROSS JOIN coords c
+ ),
+ ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY dist_r, doc_id, off) AS rank
+    FROM dists
+ )
+ SELECT query_id, rank, doc_id, off, dist_r FROM ranked WHERE rank <= 5"""
+)
+
+
+def q_cart_helmert(sf_dir: str):
+    """Geodetic -> geocentric -> 7-param Helmert (ED50->WGS84-style
+    parameters), the classic datum-shift pipeline (closed form)."""
+    defn = ("+proj=pipeline +ellps=WGS84 +step +proj=cart "
+            "+step +proj=helmert +x=-87 +y=-96 +z=-120 +rx=0.1 +ry=0.2 "
+            "+rz=0.3 +s=1.2 +convention=position_vector")
+    p = create_operation(defn)
+
+    def run(batch: pa.Table) -> pa.Table:
+        c = transform_arrays(
+            p, batch.column("lon").to_numpy(zero_copy_only=False),
+            batch.column("lat").to_numpy(zero_copy_only=False))
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "offset": batch.column("offset"),
+            "gx": pa.array(np.round(c.x, 4)),
+            "gy": pa.array(np.round(c.y, 4)),
+            "gz": pa.array(np.round(c.z, 4)),
+        })
+
+    return coords_dataset(sf_dir).map_batches(run, batch_format="pyarrow")
+
+
+def _sql_cart_helmert() -> str:
+    a = A_WGS84
+    es = 0.0066943799901413165  # WGS84 es, engine-identical
+    s = 1 + 1.2 * 1e-6
+    arc = np.pi / 180.0 / 3600.0
+    rx, ry, rz = 0.1 * arc, 0.2 * arc, 0.3 * arc
+    # position_vector small-angle matrix (helmert.cpp:262-282 transposed)
+    N = f"({a!r} / sqrt(1 - {es!r} * sin(radians(lat)) * sin(radians(lat))))"
+    X = f"({N} * cos(radians(lat)) * cos(radians(lon)))"
+    Y = f"({N} * cos(radians(lat)) * sin(radians(lon)))"
+    Z = f"({N} * (1 - {es!r}) * sin(radians(lat)))"
+    gx = f"{s!r} * (1.0 * {X} + (-{rz!r}) * {Y} + ({ry!r}) * {Z}) + (-87.0)"
+    gy = f"{s!r} * (({rz!r}) * {X} + 1.0 * {Y} + (-{rx!r}) * {Z}) + (-96.0)"
+    gz = f"{s!r} * ((-{ry!r}) * {X} + ({rx!r}) * {Y} + 1.0 * {Z}) + (-120.0)"
+    return ("WITH " + sql_coords_cte()
+            + f""" SELECT doc_id, off AS offset,
+                round({gx}, 4) AS gx, round({gy}, 4) AS gy,
+                round({gz}, 4) AS gz FROM coords""")
+
+
+def q_geodesic_pairs(sf_dir: str):
+    """Karney inverse geodesic between each doc's consecutive coord
+    spans — exercises the vectorized geodesic in a data pipeline.
+    Not SQL-expressible (rows-only check; correctness pinned by
+    tests/test_geodesic.py against published instances)."""
+    from proj_ray.functions.geodesic import geodesic
+
+    g = geodesic()
+
+    def run(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("offset")
+        prev = df.shift(1)
+        mask = prev["lon"].notna()
+        if mask.sum() == 0:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                 "offset": pd.Series([], dtype="int32"),
+                                 "dist_m": pd.Series([], dtype="float64")})
+        s12, _, _ = g.inverse(prev["lat"][mask], prev["lon"][mask],
+                              df["lat"][mask], df["lon"][mask])
+        return pd.DataFrame({
+            "doc_id": df["doc_id"][mask].to_numpy(),
+            "offset": df["offset"][mask].to_numpy(),
+            "dist_m": np.round(s12, 6),
+        })
+
+    # per-doc groups: the consecutive-pair semantics never straddle a
+    # batch boundary
+    return coords_dataset(sf_dir).groupby("doc_id").map_groups(
+        run, batch_format="pandas")
+
+
+# --------------------------- documents / text -----------------------------
+
+
+def q_text_stats(sf_dir: str):
+    import ray.data as rd
+
+    from proj_ray.stages.text import TextScorer
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    out = ds.map_batches(TextScorer, batch_format="pandas",
+                         concurrency=2)
+    return out.map_batches(
+        lambda df: df[["doc_id", "token_count", "char_count", "stop_count"]],
+        batch_format="pandas")
+
+
+SQL_TEXT_STATS = """
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS BIGINT)
+           AS token_count,
+       CAST(length(text) AS BIGINT) AS char_count,
+       CAST(len(list_filter(regexp_extract_all(lower(text),
+            '[a-za-z0-9_]+'),
+            x -> x IN ('the','and','of','a','to','in','is','on','for',
+                       'with'))) AS BIGINT) AS stop_count
+FROM documents"""
+
+
+def q_exact_dedup(sf_dir: str):
+    import ray.data as rd
+
+    from proj_ray.stages.dedup import exact_dedup
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return exact_dedup(ds)
+
+
+SQL_EXACT_DEDUP = """
+SELECT md5(text) AS h, MIN(doc_id) AS doc_id
+FROM documents GROUP BY md5(text)"""
+
+
+def q_ann_topk(sf_dir: str):
+    import ray.data as rd
+
+    from proj_ray.stages.ann import ann_brute_topk
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    qdf = ds.to_pandas()
+    qdf = qdf[qdf["vec_id"] < 8]
+    queries = {
+        "query_id": qdf["vec_id"].to_numpy(),
+        "embedding": np.vstack(qdf["embedding"].to_numpy()),
+    }
+    out = ann_brute_topk(ds, queries, k=5)
+    return out.map_batches(
+        lambda df: df.assign(cosine=np.round(df["cosine"], 6))[
+            ["query_id", "rank", "vec_id", "cosine"]],
+        batch_format="pandas")
+
+
+SQL_ANN_TOPK = """
+WITH qn AS (
+  SELECT vec_id AS query_id,
+         list_transform(embedding, x -> x / sqrt(list_sum(
+             list_transform(embedding, y -> y * y)))) AS qe
+  FROM embeddings WHERE vec_id < 8
+),
+en AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> x / sqrt(list_sum(
+             list_transform(embedding, y -> y * y)))) AS ee
+  FROM embeddings
+),
+sims AS (
+  SELECT q.query_id, e.vec_id,
+         round(list_sum(list_transform(
+             list_zip(q.qe, e.ee), p -> p[1] * p[2])), 9) AS cos9
+  FROM qn q CROSS JOIN en e
+),
+ranked AS (
+  SELECT query_id, vec_id, cos9, row_number() OVER (
+      PARTITION BY query_id ORDER BY cos9 DESC, vec_id) AS rank
+  FROM sims
+)
+SELECT query_id, rank, vec_id, round(cos9, 6) AS cosine
+FROM ranked WHERE rank <= 5"""
+
+
+def q_events_window(sf_dir: str):
+    """Tumbling 1-hour windowed aggregate over the events stream."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "event_type", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        # integer hour bucket as the shuffle key (cheap exact groupby);
+        # normalize to ns regardless of the parquet timestamp unit
+        win = (df["ts"].astype("datetime64[ns]").astype("int64")
+               // 3_600_000_000_000)
+        g = df.assign(win=win).groupby(["win", "event_type"],
+                                       as_index=False)["value"] \
+            .agg(["count", "sum"])
+        g.columns = ["win", "event_type", "n", "val_sum"]
+        return g
+
+    agg = (ds.map_batches(partial, batch_format="pandas")
+           .groupby(["win", "event_type"])
+           .aggregate(Sum("n", alias_name="n"),
+                      Sum("val_sum", alias_name="val_sum")))
+    return agg.map_batches(
+        lambda df: pd.DataFrame({
+            "window_start": pd.to_datetime(df["win"] * 3_600_000_000_000),
+            "event_type": df["event_type"],
+            "n": df["n"].astype("int64"),
+            "val_sum": np.round(df["val_sum"], 6),
+        }),
+        batch_format="pandas")
+
+
+SQL_EVENTS_WINDOW = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n, round(SUM(value), 6) AS val_sum
+FROM events GROUP BY 1, 2"""
+
+
+def q_lineitem_agg(sf_dir: str):
+    """TPC-H Q1-style pricing summary (general relational capability)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum, Count
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(revenue=df["l_extendedprice"] * (1 - df["l_discount"]))
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False) \
+            .agg(sum_qty=("l_quantity", "sum"),
+                 sum_price=("l_extendedprice", "sum"),
+                 revenue=("revenue", "sum"),
+                 n=("l_quantity", "count"))
+        return g
+
+    agg = (ds.map_batches(partial, batch_format="pandas")
+           .groupby(["l_returnflag", "l_linestatus"])
+           .aggregate(Sum("sum_qty", alias_name="sum_qty"),
+                      Sum("sum_price", alias_name="sum_price"),
+                      Sum("revenue", alias_name="revenue"),
+                      Sum("n", alias_name="n")))
+    return agg.map_batches(
+        lambda df: df.assign(
+            sum_qty=np.round(df["sum_qty"], 4),
+            sum_price=np.round(df["sum_price"], 4),
+            revenue=np.round(df["revenue"], 4),
+            n=df["n"].astype("int64")),
+        batch_format="pandas")
+
+
+SQL_LINEITEM_AGG = """
+SELECT l_returnflag, l_linestatus,
+       round(SUM(l_quantity), 4) AS sum_qty,
+       round(SUM(l_extendedprice), 4) AS sum_price,
+       round(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM lineitem GROUP BY 1, 2"""
+
+
+# ------------------------- rows-only queries ------------------------------
+
+
+def q_pip_polygons(sf_dir: str):
+    """Polygon point-in-polygon broadcast join (oracle: brute force in
+    tests/test_spatial.py; driver rows-only)."""
+    from proj_ray.spatial.join import broadcast_pip_join
+    from proj_ray.spatial.pip import make_polygons
+
+    return broadcast_pip_join(coords_dataset(sf_dir), make_polygons(64),
+                              concurrency=2)
+
+
+def q_pip_polygons_shuffle(sf_dir: str):
+    """Same join via the salted shuffle path — rows must equal the
+    broadcast variant (asserted in tests)."""
+    from proj_ray.spatial.join import detect_hot_cells, shuffle_pip_join
+    from proj_ray.spatial.pip import make_polygons
+
+    ds = coords_dataset(sf_dir)
+    salt = detect_hot_cells(ds, sample_fraction=0.2)
+    return shuffle_pip_join(ds, make_polygons(64), salt=salt)
+
+
+def q_knn_geodesic(sf_dir: str):
+    """Exact kNN via cell-ring + Karney refine (rows-only; equality with
+    brute force asserted in tests)."""
+    from proj_ray.spatial.knn import knn_cell_ring
+
+    out = knn_cell_ring(coords_dataset(sf_dir), make_queries(20), k=5)
+    return out.map_batches(
+        lambda df: df.assign(dist_m=np.round(df["dist_m"], 6)),
+        batch_format="pandas")
+
+
+def q_minhash_pairs(sf_dir: str):
+    import ray.data as rd
+
+    from proj_ray.stages.dedup import minhash_lsh_pairs
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return minhash_lsh_pairs(ds, jaccard_threshold=0.7)
+
+
+def q_simhash_pairs(sf_dir: str):
+    import ray.data as rd
+
+    from proj_ray.stages.dedup import simhash_near_pairs
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return simhash_near_pairs(ds, max_hamming=3)
+
+
+def q_embedding_near_dup(sf_dir: str):
+    import ray.data as rd
+
+    from proj_ray.stages.dedup import embedding_near_dup
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_near_dup(ds, threshold=0.4, concurrency=2)
+
+
+def q_ann_ivf(sf_dir: str):
+    import ray.data as rd
+
+    from proj_ray.stages.ann import ann_ivf_topk
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    qdf = ds.to_pandas()
+    qdf = qdf[qdf["vec_id"] < 8]
+    queries = {
+        "query_id": qdf["vec_id"].to_numpy(),
+        "embedding": np.vstack(qdf["embedding"].to_numpy()),
+    }
+    return ann_ivf_topk(ds, queries, k=5)
+
+
+def q_media_features(sf_dir: str):
+    """Multimodal plumbing: media spans -> synthetic payloads ->
+    actor-pool 'decode' -> compact features (rows-only)."""
+    from proj_ray.docs.synth import doc_dataset_from_documents
+    from proj_ray.stages.media import media_pipeline
+
+    out = media_pipeline(doc_dataset_from_documents(sf_dir), concurrency=2)
+    return out.map_batches(
+        lambda df: df.assign(
+            feat0=np.round(df["features"].map(lambda f: float(f[0])), 9)
+        )[["media_ref", "media_type", "width", "height", "feat0"]],
+        batch_format="pandas")
+
+
+def q_lang_quality(sf_dir: str):
+    import ray.data as rd
+
+    from proj_ray.stages.text import TextScorer, lang_id_batch
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "lang"])
+    out = ds.map_batches(TextScorer, batch_format="pandas", concurrency=2)
+    out = out.map_batches(lang_id_batch, batch_format="pandas")
+    return out.map_batches(
+        lambda df: df[["doc_id", "lang", "lang_pred", "quality_score"]],
+        batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+
+def build_queries():
+    return {
+        "span_coords": q_span_coords,
+        "webmerc_project": q_webmerc,
+        "merc_ell_project": q_merc_ell,
+        "lcc_project": q_lcc,
+        "utm_project": q_utm_zone32,
+        "cell_assign": q_cell_assign,
+        "tile_assign": q_tile_assign,
+        "tile_histogram": q_tile_histogram,
+        "cell_histogram": q_cell_histogram,
+        "rect_join": q_rect_join,
+        "knn_haversine": q_knn_haversine,
+        "cart_helmert": q_cart_helmert,
+        "geodesic_pairs": q_geodesic_pairs,
+        "text_stats": q_text_stats,
+        "exact_dedup": q_exact_dedup,
+        "ann_topk": q_ann_topk,
+        "events_window": q_events_window,
+        "lineitem_agg": q_lineitem_agg,
+        "pip_polygons": q_pip_polygons,
+        "pip_polygons_shuffle": q_pip_polygons_shuffle,
+        "knn_geodesic": q_knn_geodesic,
+        "minhash_pairs": q_minhash_pairs,
+        "simhash_pairs": q_simhash_pairs,
+        "embedding_near_dup": q_embedding_near_dup,
+        "ann_ivf": q_ann_ivf,
+        "media_features": q_media_features,
+        "lang_quality": q_lang_quality,
+    }
+
+
+def build_oracles():
+    return {
+        "span_coords": SQL_SPAN_COORDS,
+        "webmerc_project": SQL_WEBMERC,
+        "merc_ell_project": SQL_MERC_ELL,
+        "lcc_project": _sql_lcc(),
+        "cell_assign": SQL_CELL_ASSIGN,
+        "tile_assign": _sql_tiles(),
+        "tile_histogram": _sql_tile_histogram(),
+        "cell_histogram": SQL_CELL_HISTOGRAM,
+        "rect_join": SQL_RECT_JOIN,
+        "knn_haversine": SQL_KNN,
+        "cart_helmert": _sql_cart_helmert(),
+        "text_stats": SQL_TEXT_STATS,
+        "exact_dedup": SQL_EXACT_DEDUP,
+        "ann_topk": SQL_ANN_TOPK,
+        "events_window": SQL_EVENTS_WINDOW,
+        "lineitem_agg": SQL_LINEITEM_AGG,
+    }

@@ -127,6 +127,9 @@ def shuffle_pip_join(coords_ds, polygons: Dict, res_deg: float = 5.0,
 
     salt = salt or {}
     SALT_MAX = 64
+    doc_id_type = coords_ds.schema().base_schema.field("doc_id").type
+    doc_is_str = pa.types.is_string(doc_id_type)
+    doc_fill = "" if doc_is_str else 0
 
     # polygon side: replicate to covering cells (+ salt replicas)
     poly_rows = {"key": [], "poly_idx": []}
@@ -142,7 +145,8 @@ def shuffle_pip_join(coords_ds, polygons: Dict, res_deg: float = 5.0,
         "key": pa.array(poly_rows["key"], type=pa.int64()),
         "poly_idx": pa.array(poly_rows["poly_idx"], type=pa.int64()),
         "side": pa.array(np.zeros(len(poly_rows["key"]), dtype=np.int8)),
-        "doc_id": pa.array([""] * len(poly_rows["key"])),
+        "doc_id": pa.array([doc_fill] * len(poly_rows["key"]),
+                           type=doc_id_type),
         "offset": pa.array(np.zeros(len(poly_rows["key"]), dtype=np.int32)),
         "lon": pa.array(np.zeros(len(poly_rows["key"]))),
         "lat": pa.array(np.zeros(len(poly_rows["key"]))),
@@ -158,7 +162,7 @@ def shuffle_pip_join(coords_ds, polygons: Dict, res_deg: float = 5.0,
             import zlib
 
             h = np.array(
-                [zlib.crc32(x.encode()) for x in
+                [zlib.crc32(str(x).encode()) for x in
                  batch.column("doc_id").to_pylist()],
                 dtype=np.int64)
             for c, s in salt.items():
@@ -181,13 +185,14 @@ def shuffle_pip_join(coords_ds, polygons: Dict, res_deg: float = 5.0,
     ids_arr = ids
 
     def refine(group: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], type=doc_id_type),
+                          "offset": pa.array([], type=pa.int32()),
+                          "polygon_id": pa.array([], type=pa.string())})
         side = group.column("side").to_numpy(zero_copy_only=False)
         polys = group.column("poly_idx").to_numpy(
             zero_copy_only=False)[side == 0]
         if len(polys) == 0:
-            return pa.table({"doc_id": pa.array([], type=pa.string()),
-                             "offset": pa.array([], type=pa.int32()),
-                             "polygon_id": pa.array([], type=pa.string())})
+            return empty
         pmask = side == 1
         lon = group.column("lon").to_numpy(zero_copy_only=False)[pmask]
         lat = group.column("lat").to_numpy(zero_copy_only=False)[pmask]
@@ -204,9 +209,7 @@ def shuffle_pip_join(coords_ds, polygons: Dict, res_deg: float = 5.0,
                 out_off.append(off.take(sel))
                 out_poly.append(pa.array([ids_arr[pi]] * len(sel)))
         if not out_doc:
-            return pa.table({"doc_id": pa.array([], type=pa.string()),
-                             "offset": pa.array([], type=pa.int32()),
-                             "polygon_id": pa.array([], type=pa.string())})
+            return empty
         return pa.table({
             "doc_id": pa.concat_arrays([a.combine_chunks() if
                                         isinstance(a, pa.ChunkedArray) else a
