@@ -26,7 +26,7 @@ import subprocess
 import sys
 import time
 
-BENCH_DOCS = int(os.environ.get("GRAFT_BENCH_DOCS", "1000000"))
+BENCH_DOCS = int(os.environ.get("GRAFT_BENCH_DOCS", "4000000"))
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
@@ -77,8 +77,11 @@ def run_bench() -> dict:
     from proj_ray.pipelines.flagship import flagship
     from proj_ray.pipelines.queries import build_queries
 
-    # warm the page cache / workers with one small untimed run
-    consume(flagship(n_docs=10000, concurrency=2, parallelism=4))
+    # warm ALL worker processes (imports + kernel setup) with an
+    # untimed run at full parallelism, so the timed run measures
+    # steady-state compute rather than interpreter start-up
+    consume(flagship(n_docs=NUM_CPUS * 20000, concurrency=2,
+                     parallelism=NUM_CPUS * 4))
 
     # ~40k docs per block: large enough that task overhead amortizes,
     # small enough that every core gets work

@@ -24,9 +24,45 @@ from proj_ray.spatial.pip import PolygonIndex, make_polygons
 from proj_ray.spatial.tiles import tile_xy
 
 
+# worker-process-level state cache: stateless tasks reuse warm worker
+# processes across datasets, so the index fetch + kernel setup happen
+# once per worker instead of once per actor-pool spin-up
+_WORKER_STATE: dict = {}
+
+
+def _get_state(index_ref, zoom: int):
+    import ray
+
+    key = (getattr(index_ref, "hex", lambda: id(index_ref))(), zoom)
+    st = _WORKER_STATE.get(key)
+    if st is None:
+        index = (ray.get(index_ref)
+                 if not isinstance(index_ref, PolygonIndex) else index_ref)
+        st = (index,
+              create_operation("+proj=webmerc +ellps=WGS84"),
+              create_operation("+proj=utm +zone=32 +ellps=WGS84"))
+        _WORKER_STATE.clear()  # only ever one live config per worker
+        _WORKER_STATE[key] = st
+    return st
+
+
+def transform_join_tile(batch: pa.Table, index_ref, zoom: int) -> pa.Table:
+    """Fused stage: webmerc + exact transverse-mercator transforms +
+    cell + tile + PIP probe, emitting per-tile partial aggregates
+    (combiner before the shuffle)."""
+    index, proj, utm = _get_state(index_ref, zoom)
+    lon = batch.column("lon").to_numpy(zero_copy_only=False)
+    lat = batch.column("lat").to_numpy(zero_copy_only=False)
+    c = transform_arrays(proj, lon, lat)
+    cu = transform_arrays(utm, lon, lat)  # Poder/Engsager series kernel
+    ux = np.where(np.isfinite(cu.x), cu.x, 0.0)
+    tx, ty = tile_xy(lon, lat, zoom)
+    return _partials(index, zoom, lon, lat, c, tx, ty, ux)
+
+
 class TransformJoinTile:
-    """Fused actor-pool stage: webmerc transform + cell + tile + PIP
-    probe, emitting per-(tile, cell) partial aggregates."""
+    """Actor-pool variant of the fused stage (kept for API parity with
+    stateful stages that genuinely need per-actor setup)."""
 
     def __init__(self, index_ref, zoom: int = 8):
         import ray
@@ -42,29 +78,38 @@ class TransformJoinTile:
         lat = batch.column("lat").to_numpy(zero_copy_only=False)
         c = transform_arrays(self.proj, lon, lat)
         tx, ty = tile_xy(lon, lat, self.zoom)
-        tile = ty * (1 << self.zoom) + tx
-        cell = grid_cell(lon, lat, 5.0)
-        pts, polys = self.index.query_batch(lon, lat)
-        joined = np.zeros(len(lon), dtype=np.int64)
-        np.add.at(joined, pts, 1)
-        # partial per-tile aggregate (combiner before the shuffle)
-        order = np.argsort(tile, kind="stable")
-        t_sorted = tile[order]
-        uniq, starts = np.unique(t_sorted, return_index=True)
-        n = np.diff(np.append(starts, len(t_sorted)))
-        jsum = np.add.reduceat(joined[order], starts) if len(order) else \
-            np.array([], dtype=np.int64)
-        xsum = np.add.reduceat(c.x[order], starts) if len(order) else \
-            np.array([])
-        ysum = np.add.reduceat(c.y[order], starts) if len(order) else \
-            np.array([])
-        return pa.table({
-            "tile": pa.array(uniq),
-            "n_points": pa.array(n.astype(np.int64)),
-            "n_joined": pa.array(jsum.astype(np.int64)),
-            "x_sum": pa.array(xsum),
-            "y_sum": pa.array(ysum),
-        })
+        return _partials(self.index, self.zoom, lon, lat, c, tx, ty,
+                         np.zeros_like(lon))
+
+
+def _partials(index, zoom, lon, lat, c, tx, ty, ux) -> pa.Table:
+    tile = ty * (1 << zoom) + tx
+    cell = grid_cell(lon, lat, 5.0)  # noqa: F841 — cell key available for
+    # downstream salting decisions; computed here to keep the stage fused
+    pts, polys = index.query_batch(lon, lat)
+    joined = np.zeros(len(lon), dtype=np.int64)
+    np.add.at(joined, pts, 1)
+    # partial per-tile aggregate (combiner before the shuffle)
+    order = np.argsort(tile, kind="stable")
+    t_sorted = tile[order]
+    uniq, starts = np.unique(t_sorted, return_index=True)
+    n = np.diff(np.append(starts, len(t_sorted)))
+    jsum = np.add.reduceat(joined[order], starts) if len(order) else \
+        np.array([], dtype=np.int64)
+    xsum = np.add.reduceat(c.x[order], starts) if len(order) else \
+        np.array([])
+    ysum = np.add.reduceat(c.y[order], starts) if len(order) else \
+        np.array([])
+    usum = np.add.reduceat(ux[order], starts) if len(order) else \
+        np.array([])
+    return pa.table({
+        "tile": pa.array(uniq),
+        "n_points": pa.array(n.astype(np.int64)),
+        "n_joined": pa.array(jsum.astype(np.int64)),
+        "x_sum": pa.array(xsum),
+        "y_sum": pa.array(ysum),
+        "utmx_sum": pa.array(usum),
+    })
 
 
 def flagship(sf_dir: str = None, n_docs: int = None, zoom: int = 8,
@@ -72,7 +117,8 @@ def flagship(sf_dir: str = None, n_docs: int = None, zoom: int = 8,
              parallelism: int = 32):
     """Run the flagship pipeline; returns the per-tile summary Dataset."""
     import ray
-    from ray.data.aggregate import Sum
+
+    from proj_ray.stages.agg import tree_aggregate
 
     if n_docs is not None:
         docs = doc_dataset(n_docs, parallelism=parallelism)
@@ -81,16 +127,17 @@ def flagship(sf_dir: str = None, n_docs: int = None, zoom: int = 8,
     coords = docs.map_batches(extract_coords_batch, batch_format="pyarrow")
     index = PolygonIndex(make_polygons(n_polygons), 5.0)
     ref = ray.put(index)
+    # stateless tasks (not an actor pool): worker processes stay warm
+    # across runs and elastically fill every core
     partials = coords.map_batches(
-        TransformJoinTile,
-        fn_constructor_args=(ref, zoom),
+        transform_join_tile,
+        fn_kwargs={"index_ref": ref, "zoom": zoom},
         batch_format="pyarrow",
-        batch_size=65536,
-        concurrency=concurrency,
+        batch_size=None,  # one task per block: keep every core busy
     )
-    return partials.groupby("tile").aggregate(
-        Sum("n_points", alias_name="n_points"),
-        Sum("n_joined", alias_name="n_joined"),
-        Sum("x_sum", alias_name="x_sum"),
-        Sum("y_sum", alias_name="y_sum"),
-    )
+    # tile assembly: associative combine tree (tile cardinality is
+    # bounded by 4^zoom, so the final merge is small)
+    return tree_aggregate(
+        partials, ["tile"],
+        [("n_points", "sum"), ("n_joined", "sum"),
+         ("x_sum", "sum"), ("y_sum", "sum"), ("utmx_sum", "sum")])

@@ -279,10 +279,10 @@ def q_tile_histogram(sf_dir: str):
         return pa.table({"tile": pa.array(ids),
                          "n": pa.array(counts.astype(np.int64))})
 
-    from ray.data.aggregate import Sum
+    from proj_ray.stages.agg import tree_aggregate
 
     ds = coords_dataset(sf_dir).map_batches(partial, batch_format="pyarrow")
-    return ds.groupby("tile").aggregate(Sum("n", alias_name="n"))
+    return tree_aggregate(ds, ["tile"], [("n", "sum")])
 
 
 def _sql_tile_histogram() -> str:
@@ -303,10 +303,10 @@ def q_cell_histogram(sf_dir: str):
         return pa.table({"cell": pa.array(ids),
                          "n": pa.array(counts.astype(np.int64))})
 
-    from ray.data.aggregate import Sum
+    from proj_ray.stages.agg import tree_aggregate
 
     ds = coords_dataset(sf_dir).map_batches(partial, batch_format="pyarrow")
-    return ds.groupby("cell").aggregate(Sum("n", alias_name="n"))
+    return tree_aggregate(ds, ["cell"], [("n", "sum")])
 
 
 SQL_CELL_HISTOGRAM = (
@@ -346,15 +346,19 @@ def q_knn_haversine(sf_dir: str):
         BruteKNNJoiner, fn_constructor_args=(qref, 5, "haversine"),
         batch_format="pyarrow", batch_size=65536, concurrency=2)
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.copy()
-        g["dist_r"] = np.round(g["dist_m"], 6)
-        g = g.sort_values(["dist_r", "doc_id", "off"]).head(5)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g[["query_id", "rank", "doc_id", "off", "dist_r"]]
+    # the partial stream is tiny (n_queries * k * n_blocks rows):
+    # merge on the driver instead of paying a distributed sort
+    df = partial.to_pandas()
+    df["dist_r"] = np.round(df["dist_m"], 6)
 
-    return partial.groupby("query_id").map_groups(merge,
-                                                  batch_format="pandas")
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["dist_r", "doc_id", "off"]).head(5).copy()
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    out = df.groupby("query_id", group_keys=False)[df.columns].apply(merge)
+    return out[["query_id", "rank", "doc_id", "off", "dist_r"]] \
+        .reset_index(drop=True)
 
 
 SQL_KNN = (
@@ -542,7 +546,8 @@ FROM ranked WHERE rank <= 5"""
 def q_events_window(sf_dir: str):
     """Tumbling 1-hour windowed aggregate over the events stream."""
     import ray.data as rd
-    from ray.data.aggregate import Sum
+
+    from proj_ray.stages.agg import tree_aggregate
 
     ds = rd.read_parquet(f"{sf_dir}/events.parquet",
                          columns=["ts", "event_type", "value"])
@@ -558,10 +563,9 @@ def q_events_window(sf_dir: str):
         g.columns = ["win", "event_type", "n", "val_sum"]
         return g
 
-    agg = (ds.map_batches(partial, batch_format="pandas")
-           .groupby(["win", "event_type"])
-           .aggregate(Sum("n", alias_name="n"),
-                      Sum("val_sum", alias_name="val_sum")))
+    agg = tree_aggregate(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["win", "event_type"], [("n", "sum"), ("val_sum", "sum")])
     return agg.map_batches(
         lambda df: pd.DataFrame({
             "window_start": pd.to_datetime(df["win"] * 3_600_000_000_000),
@@ -581,7 +585,8 @@ FROM events GROUP BY 1, 2"""
 def q_lineitem_agg(sf_dir: str):
     """TPC-H Q1-style pricing summary (general relational capability)."""
     import ray.data as rd
-    from ray.data.aggregate import Sum, Count
+
+    from proj_ray.stages.agg import tree_aggregate
 
     ds = rd.read_parquet(
         f"{sf_dir}/lineitem.parquet",
@@ -597,12 +602,11 @@ def q_lineitem_agg(sf_dir: str):
                  n=("l_quantity", "count"))
         return g
 
-    agg = (ds.map_batches(partial, batch_format="pandas")
-           .groupby(["l_returnflag", "l_linestatus"])
-           .aggregate(Sum("sum_qty", alias_name="sum_qty"),
-                      Sum("sum_price", alias_name="sum_price"),
-                      Sum("revenue", alias_name="revenue"),
-                      Sum("n", alias_name="n")))
+    agg = tree_aggregate(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["l_returnflag", "l_linestatus"],
+        [("sum_qty", "sum"), ("sum_price", "sum"), ("revenue", "sum"),
+         ("n", "sum")])
     return agg.map_batches(
         lambda df: df.assign(
             sum_qty=np.round(df["sum_qty"], 4),

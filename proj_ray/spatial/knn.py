@@ -96,7 +96,7 @@ class BruteKNNJoiner:
 def _merge_topk(group, k: int):
     import pandas as pd
 
-    g = group.sort_values(["dist_m", "doc_id", "off"]).head(k)
+    g = group.sort_values(["dist_m", "doc_id", "off"]).head(k).copy()
     g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
     return g
 
@@ -104,8 +104,11 @@ def _merge_topk(group, k: int):
 def knn_brute(coords_ds, queries: Dict, k: int = 5,
               metric: str = "haversine", concurrency: int = 4):
     """Distributed brute-force kNN: per-batch partial top-k inside an
-    actor pool (combiner pattern), then a tiny groupby(query) merge."""
+    actor pool (combiner pattern); the partial stream is tiny
+    (n_queries * k * n_blocks), so the final merge runs on the driver."""
+    import pandas as pd
     import ray
+    import ray.data as rd
 
     qref = ray.put(queries)
     partial = coords_ds.map_batches(
@@ -115,8 +118,12 @@ def knn_brute(coords_ds, queries: Dict, k: int = 5,
         batch_size=65536,
         concurrency=concurrency,
     )
-    return partial.groupby("query_id").map_groups(
-        lambda g: _merge_topk(g, k), batch_format="pandas")
+    df = partial.to_pandas()
+    if len(df) == 0:
+        return rd.from_pandas(df)
+    merged = df.groupby("query_id", group_keys=False)[df.columns].apply(
+        lambda g: _merge_topk(g, k)).reset_index(drop=True)
+    return rd.from_pandas(merged)
 
 
 # conservative meters-per-degree bounds for exact cap pruning

@@ -1,0 +1,85 @@
+"""Arrow-native aggregation helpers.
+
+Ray Data's built-in `groupby().aggregate(...)` is a full sort-based
+shuffle with per-row Python overhead — pathological for the
+pre-aggregated partial streams our pipelines emit.  `tree_aggregate`
+replaces it with the classic combiner tree: per-block partials are
+already grouped (C++ `pyarrow.Table.group_by`), a fan-in level combines
+32:1, and a final single task merges.  Associative aggregations only
+(sum/min/max/count).
+
+Scale note: the tree's final level sees at most (distinct keys) rows —
+the right tool when key cardinality is bounded (tiles, cells, hour
+windows, flag pairs).  For unbounded cardinality (e.g. content hashes
+over 10^12 docs) use `hash_shuffle_aggregate`, which hash-partitions
+keys into independent buckets first, then runs one combine per bucket
+(no single-task bottleneck).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Sequence, Tuple
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# agg spec: list of (column, fn) with fn in {"sum", "min", "max"}
+
+
+def combine_block(batch: pa.Table, keys: Sequence[str],
+                  aggs: Sequence[Tuple[str, str]]) -> pa.Table:
+    """One C++ hash-aggregate over a block, preserving column names."""
+    gb = batch.group_by(list(keys))
+    out = gb.aggregate([(c, f) for c, f in aggs])
+    renames = {f"{c}_{f}": c for c, f in aggs}
+    return out.rename_columns(
+        [renames.get(n, n) for n in out.column_names])
+
+
+def tree_aggregate(ds, keys: Sequence[str],
+                   aggs: Sequence[Tuple[str, str]], fanout: int = 0):
+    """Combine-tree aggregation: block partials -> [fan-in ->] final.
+
+    With fanout=0 (default) the tree is two levels: per-block combine,
+    then one final combine task — right when (blocks x keys) partial
+    volume is modest.  Set fanout>0 to insert a middle fan-in level for
+    very wide jobs (thousands of blocks)."""
+    k = list(keys)
+    a = list(aggs)
+
+    def combine(batch: pa.Table) -> pa.Table:
+        return combine_block(batch, k, a)
+
+    partial = ds.map_batches(combine, batch_format="pyarrow")
+    if fanout:
+        partial = partial.repartition(fanout).map_batches(
+            combine, batch_format="pyarrow", batch_size=None)
+    return partial.repartition(1).map_batches(
+        combine, batch_format="pyarrow", batch_size=None)
+
+
+def hash_shuffle_aggregate(ds, keys: Sequence[str],
+                           aggs: Sequence[Tuple[str, str]],
+                           num_buckets: int = 64):
+    """Hash-partitioned aggregate for unbounded key cardinality: bucket
+    by key hash (the shuffle key), then one exact combine per bucket."""
+    k = list(keys)
+    a = list(aggs)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        import zlib
+
+        partial = combine_block(batch, k, a)  # combine before the shuffle
+        vals = partial.column(k[0]).to_pylist()
+        h = np.array([zlib.crc32(str(v).encode()) % num_buckets
+                      for v in vals], dtype=np.int64)
+        return partial.append_column("__bucket", pa.array(h))
+
+    def combine_group(batch: pa.Table) -> pa.Table:
+        out = combine_block(batch.drop_columns(["__bucket"]), k, a)
+        return out
+
+    bucketed = ds.map_batches(add_bucket, batch_format="pyarrow")
+    return bucketed.groupby("__bucket").map_groups(
+        combine_group, batch_format="pyarrow")

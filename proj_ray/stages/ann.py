@@ -57,6 +57,17 @@ def _merge_topk(g: pd.DataFrame, k: int) -> pd.DataFrame:
     return g
 
 
+def _driver_merge(partial, k: int):
+    import ray.data as rd
+
+    df = partial.to_pandas()
+    if len(df) == 0:
+        return rd.from_pandas(df)
+    merged = df.groupby("query_id", group_keys=False)[df.columns].apply(
+        lambda g: _merge_topk(g, k)).reset_index(drop=True)
+    return rd.from_pandas(merged)
+
+
 def ann_brute_topk(emb_ds, queries: Dict, k: int = 5, concurrency: int = 4):
     """queries: {'query_id': int array, 'embedding': (nq, d) array}."""
     import ray
@@ -67,8 +78,7 @@ def ann_brute_topk(emb_ds, queries: Dict, k: int = 5, concurrency: int = 4):
     partial = emb_ds.map_batches(
         BruteANN, fn_constructor_args=(qref, iref, k),
         batch_format="pandas", batch_size=8192, concurrency=concurrency)
-    return partial.groupby("query_id").map_groups(
-        lambda g: _merge_topk(g, k), batch_format="pandas")
+    return _driver_merge(partial, k)
 
 
 def kmeans_lite(mat: np.ndarray, n_centroids: int, iters: int = 5,
@@ -141,5 +151,4 @@ def ann_ivf_topk(emb_ds, queries: Dict, k: int = 5, n_centroids: int = 16,
     partial = emb_ds.map_batches(
         IVFScorer, fn_constructor_args=(*refs, k),
         batch_format="pandas", batch_size=8192, concurrency=concurrency)
-    return partial.groupby("query_id").map_groups(
-        lambda g: _merge_topk(g, k), batch_format="pandas")
+    return _driver_merge(partial, k)

@@ -46,13 +46,16 @@ def text_md5_batch(batch: pd.DataFrame) -> pd.DataFrame:
 
 
 def exact_dedup(docs_ds):
-    """Exact dedup: keep the min doc_id per content hash (vectorized
-    aggregate, not per-group Python)."""
-    from ray.data.aggregate import Min
+    """Exact dedup: keep the min doc_id per content hash.
+
+    Content-hash cardinality is unbounded (one key per distinct doc), so
+    this uses the hash-partitioned aggregate — per-block combine, then a
+    shuffle into independent hash buckets, one exact combine each."""
+    from proj_ray.stages.agg import hash_shuffle_aggregate
 
     hashed = docs_ds.map_batches(text_md5_batch, batch_format="pandas")
-    return hashed.groupby("h").aggregate(Min("doc_id",
-                                             alias_name="doc_id"))
+    return hash_shuffle_aggregate(hashed, ["h"], [("doc_id", "min")],
+                                  num_buckets=32)
 
 
 def shingle_hashes(text: str, n: int = 4) -> np.ndarray:
