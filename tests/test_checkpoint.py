@@ -1,0 +1,61 @@
+"""Checkpoint/resume: partitioned writes, manifests, skip-on-resume,
+and config-hash invalidation."""
+
+import os
+
+import pyarrow as pa
+import pytest
+
+from proj_ray.state.checkpoint import CheckpointWriter, run_partitioned
+
+
+def make_table(pid: str) -> pa.Table:
+    n = int(pid) + 1
+    return pa.table({"x": list(range(n)), "part": [pid] * n})
+
+
+def test_write_resume_skip(tmp_path):
+    root = str(tmp_path / "out")
+    parts = [str(i) for i in range(5)]
+    calls = []
+
+    def tracked(pid):
+        calls.append(pid)
+        return make_table(pid)
+
+    w, computed, skipped = run_partitioned(parts, tracked, root,
+                                           config={"v": 1})
+    assert computed == 5 and skipped == 0
+    # resume: nothing recomputed
+    calls.clear()
+    w, computed, skipped = run_partitioned(parts, tracked, root,
+                                           config={"v": 1})
+    assert computed == 0 and skipped == 5 and calls == []
+    # config change invalidates
+    w, computed, skipped = run_partitioned(parts, tracked, root,
+                                           config={"v": 2})
+    assert computed == 5
+    # data integrity
+    total = w.read_all()
+    assert total.num_rows == sum(range(1, 6))
+    assert len(w.manifests()) == 5
+
+
+def test_partial_failure_resume(tmp_path):
+    root = str(tmp_path / "out")
+    parts = [str(i) for i in range(4)]
+
+    def flaky(pid):
+        if pid == "2":
+            raise RuntimeError("boom")
+        return make_table(pid)
+
+    with pytest.raises(RuntimeError):
+        run_partitioned(parts, flaky, root, config={"v": 1})
+    w = CheckpointWriter(root, {"v": 1})
+    assert w.pending(parts) == ["2", "3"]
+    # no torn output for the failed partition
+    assert not os.path.exists(os.path.join(root, "part=2"))
+    w2, computed, skipped = run_partitioned(parts, make_table, root,
+                                            config={"v": 1})
+    assert computed == 2 and skipped == 2
