@@ -35,4 +35,5 @@ from proj_ray.ops import (  # noqa: F401,E402
     topocentric,
     geodesic_ops,
     pushpop,
+    interrupted,
 )
