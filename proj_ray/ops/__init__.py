@@ -36,4 +36,5 @@ from proj_ray.ops import (  # noqa: F401,E402
     geodesic_ops,
     pushpop,
     interrupted,
+    misc_sph,
 )
