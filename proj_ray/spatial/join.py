@@ -64,7 +64,7 @@ class BroadcastPIPJoiner:
 
 
 def broadcast_pip_join(coords_ds, polygons: Dict, res_deg: float = 5.0,
-                       concurrency: int = 4):
+                       concurrency: int = 2):
     """coords_ds: Dataset with (doc_id, offset, lon, lat)."""
     import ray
 

@@ -102,7 +102,7 @@ def _merge_topk(group, k: int):
 
 
 def knn_brute(coords_ds, queries: Dict, k: int = 5,
-              metric: str = "haversine", concurrency: int = 4):
+              metric: str = "haversine", concurrency: int = 2):
     """Distributed brute-force kNN: per-batch partial top-k inside an
     actor pool (combiner pattern); the partial stream is tiny
     (n_queries * k * n_blocks), so the final merge runs on the driver."""
@@ -161,7 +161,7 @@ def _cap_cells(qlon: float, qlat: float, radius_m: float,
 
 
 def knn_cell_ring(coords_ds, queries: Dict, k: int = 5,
-                  res_deg: float = 5.0, concurrency: int = 4):
+                  res_deg: float = 5.0, concurrency: int = 2):
     """Exact kNN via cell-ring candidate generation + geodesic refine.
 
     Two-round exact algorithm (SURVEY.md §2.8):

@@ -68,7 +68,7 @@ def _driver_merge(partial, k: int):
     return rd.from_pandas(merged)
 
 
-def ann_brute_topk(emb_ds, queries: Dict, k: int = 5, concurrency: int = 4):
+def ann_brute_topk(emb_ds, queries: Dict, k: int = 5, concurrency: int = 2):
     """queries: {'query_id': int array, 'embedding': (nq, d) array}."""
     import ray
 
@@ -136,7 +136,7 @@ class IVFScorer:
 
 def ann_ivf_topk(emb_ds, queries: Dict, k: int = 5, n_centroids: int = 16,
                  nprobe: int = 4, sample_fraction: float = 0.25,
-                 concurrency: int = 4):
+                 concurrency: int = 2):
     import ray
 
     sample = emb_ds.random_sample(sample_fraction, seed=3).to_pandas()

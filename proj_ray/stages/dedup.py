@@ -220,7 +220,7 @@ class EmbeddingNearDup:
                              "cosine": np.round(out_s, 9)})
 
 
-def embedding_near_dup(emb_ds, threshold: float = 0.95, concurrency: int = 4):
+def embedding_near_dup(emb_ds, threshold: float = 0.95, concurrency: int = 2):
     import ray
 
     df = emb_ds.to_pandas()

