@@ -37,4 +37,5 @@ from proj_ray.ops import (  # noqa: F401,E402
     pushpop,
     interrupted,
     misc_sph,
+    cube,
 )

@@ -129,7 +129,12 @@ class _GridShiftBase(Operation):
         spec = params.s("grids")
         if not spec:
             raise ProjError("gridshift: +grids parameter missing")
+        if not (spec.startswith("synth:") or spec.endswith(".npz")):
+            raise ProjError(
+                f"unknown or unsupported grid format: {spec!r} "
+                "(NTv2/GTX readers are out of scope; use synth:/npz)")
         # deferred load: the grid opens on first use in each worker
+        # (mirrors defer_grid_opening, hgridshift.cpp:55-58)
         self._spec = spec
         self._grid = None
         self.mult = params.f("multiplier", 1.0)
