@@ -144,6 +144,8 @@ def run_case(case: dict) -> tuple:
             vals = np.array([c.x[0], c.y[0], c.z[0], c.t[0]])
             c = trans(vals, not inverse)
             vals = np.array([c.x[0], c.y[0], c.z[0], c.t[0]])
+        if np.isnan(a).all() and np.isnan(vals).all():
+            return "pass", None  # NaN propagates NaN (4D_api.cpp:540)
         if np.isnan(vals[:2]).any():
             return "fail", "roundtrip produced NaN"
         if angular_in:

@@ -38,4 +38,5 @@ from proj_ray.ops import (  # noqa: F401,E402
     interrupted,
     misc_sph,
     cube,
+    omerc,
 )

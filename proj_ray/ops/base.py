@@ -410,9 +410,15 @@ class Operation:
         self._cart_local = None
         self._cart_wgs84 = None
         tw = params.s("towgs84")
-        if (tw is not None and not self._no_datum_helpers
-                and any(float(v) != 0.0 for v in tw.split(","))):
-            self._init_towgs84(tw)
+        if tw is not None and not self._no_datum_helpers:
+            # All-zero shifts on a WGS84/GRS80-sized ellipsoid mean "is
+            # WGS84" (no-op); zeros on any OTHER ellipsoid still change
+            # datum via the cart roundtrip (reference init.cpp:588-595)
+            zeros = all(float(v) == 0.0 for v in tw.split(","))
+            is_wgs84_like = (self.a == 6378137.0
+                             and abs(self.es - 0.006694379990) < 5e-11)
+            if not (zeros and is_wgs84_like):
+                self._init_towgs84(tw)
         self.setup(params)
 
     def _init_towgs84(self, towgs84: str) -> None:
@@ -587,10 +593,25 @@ class Operation:
 # ---------------------------------------------------------------------------
 
 
+def _nan_in(c: Coords):
+    return (np.isnan(c.x) | np.isnan(c.y) | np.isnan(c.z) | np.isnan(c.t))
+
+
+def _poison_nans(c: Coords, mask) -> None:
+    """NaN input propagates NaN on ALL components, without flagging an
+    error (reference src/4D_api.cpp:540-546)."""
+    if np.any(mask):
+        c.x[mask] = np.nan
+        c.y[mask] = np.nan
+        c.z[mask] = np.nan
+        c.t[mask] = np.nan
+
+
 def apply_fwd(op: Operation, c: Coords) -> Coords:
     if not op.has_fwd:
         c.set_error(np.ones(len(c), dtype=bool), ERR_NO_INVERSE)
         return c
+    nan_mask = _nan_in(c)
     if not op.skip_prepare:
         op.fwd_prepare(c)
     with np.errstate(all="ignore"):
@@ -598,7 +619,9 @@ def apply_fwd(op: Operation, c: Coords) -> Coords:
     if not op.skip_finalize:
         op.fwd_finalize(c)
     else:
-        c.set_error(np.isnan(c.x) & (c.err == 0), ERR_INVALID_COORD)
+        c.set_error(np.isnan(c.x) & (c.err == 0) & ~nan_mask,
+                    ERR_INVALID_COORD)
+    _poison_nans(c, nan_mask)
     return c
 
 
@@ -606,6 +629,7 @@ def apply_inv(op: Operation, c: Coords) -> Coords:
     if not op.has_inv:
         c.set_error(np.ones(len(c), dtype=bool), ERR_NO_INVERSE)
         return c
+    nan_mask = _nan_in(c)
     if not op.skip_prepare:
         op.inv_prepare(c)
     with np.errstate(all="ignore"):
@@ -613,7 +637,9 @@ def apply_inv(op: Operation, c: Coords) -> Coords:
     if not op.skip_finalize:
         op.inv_finalize(c)
     else:
-        c.set_error(np.isnan(c.x) & (c.err == 0), ERR_INVALID_COORD)
+        c.set_error(np.isnan(c.x) & (c.err == 0) & ~nan_mask,
+                    ERR_INVALID_COORD)
+    _poison_nans(c, nan_mask)
     return c
 
 

@@ -34,7 +34,8 @@ from proj_ray.ops.base import (
 
 
 class Step:
-    __slots__ = ("op", "inverted", "omit_fwd", "omit_inv")
+    __slots__ = ("op", "inverted", "omit_fwd", "omit_inv", "meta_left",
+                 "meta_right")
 
     def __init__(self, op: Operation, inverted: bool, omit_fwd: bool,
                  omit_inv: bool):
@@ -42,6 +43,10 @@ class Step:
         self.inverted = inverted
         self.omit_fwd = omit_fwd
         self.omit_inv = omit_inv
+        # metadata units (may be refined by neighbor propagation without
+        # changing execution semantics)
+        self.meta_left = self.left
+        self.meta_right = self.right
 
     @property
     def left(self):
@@ -62,17 +67,35 @@ class Pipeline:
         self.steps = steps
         self.defn = defn
         self.inverted = inverted  # global +inv: whole pipeline runs mirrored
-        left = self._boundary_units(forward=True)
-        right = self._boundary_units(forward=False)
+        self._propagate_units()
+        left = steps[0].meta_left
+        right = steps[-1].meta_right
         self.left, self.right = (right, left) if inverted else (left, right)
 
-    def _boundary_units(self, forward: bool) -> str:
-        seq = self.steps if forward else list(reversed(self.steps))
-        for st in seq:
-            u = st.left if forward else st.right
-            if u != WHATEVER:
-                return u
-        return WHATEVER
+    def _propagate_units(self) -> None:
+        """Refine WHATEVER I/O units from neighbouring steps for the
+        pipeline's boundary metadata (reference pipeline.cpp:571-610).
+        Metadata only: execution prepare/finalize keeps each op's own
+        declared units (a units=m->km converter after a CLASSIC step must
+        not inherit the CLASSIC x a scaling)."""
+        steps = self.steps
+        n = len(steps)
+        for i in range(n - 2, -1, -1):
+            st = steps[i]
+            if st.meta_left == WHATEVER and st.meta_right == WHATEVER:
+                rl = steps[i + 1].meta_left
+                rr = steps[i + 1].meta_right
+                if rl != rr or rl != WHATEVER:
+                    st.meta_left = rl
+                    st.meta_right = rl
+        for i in range(1, n):
+            st = steps[i]
+            if st.meta_left == WHATEVER and st.meta_right == WHATEVER:
+                ll = steps[i - 1].meta_left
+                lr = steps[i - 1].meta_right
+                if ll != lr or lr != WHATEVER:
+                    st.meta_left = lr
+                    st.meta_right = lr
 
     @property
     def angular_input(self) -> bool:
@@ -141,15 +164,20 @@ def create_operation(defn: str) -> Pipeline:
     Handles both single operations ("+proj=utm +zone=32 +ellps=GRS80")
     and pipelines ("+proj=pipeline +step +proj=... +step +inv +proj=...").
     """
+    from proj_ray.epsg_init import expand_datum, expand_init
+
     defn = Params.normalize(defn)
-    # epsg:4326 under proj4 init rules is plain geographic WGS84 — the only
-    # +init the gie corpus needs (gigs files); everything else is out of
-    # scope (no EPSG database in this engine)
-    defn = defn.replace("init=epsg:4326", "proj=longlat ellps=WGS84")
+    # EPSG init shim + datum table expansion (proj_ray/epsg_init.py);
+    # anything not in the shim is out of scope (no EPSG database)
+    defn = expand_datum(expand_init(defn))
+    # +nadgrids=@null is an explicit no-op marker; real grid catalogs are
+    # out of scope
+    defn = defn.replace("nadgrids=@null", "")
     tokens = defn.split()
     kvs = [t.lstrip("+") for t in tokens if t.lstrip("+")]
     if any(t.startswith("init=") for t in kvs):
-        raise ProjError("unknown or unsupported: init files are not supported")
+        raise ProjError("unknown or unsupported: init code not in the "
+                        "EPSG shim table")
     if any(t.startswith("datum=") or t.startswith("nadgrids=")
            or t.startswith("geoidgrids=") for t in kvs):
         raise ProjError("unknown or unsupported: datum/grid catalog lookups")
