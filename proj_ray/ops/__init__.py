@@ -39,4 +39,6 @@ from proj_ray.ops import (  # noqa: F401,E402
     misc_sph,
     cube,
     omerc,
+    krovak,
+    satellite,
 )
