@@ -267,3 +267,85 @@ def clenS(a: np.ndarray, sin_arg_r, cos_arg_r, sinh_arg_i, cosh_arg_i):
     R = r * hr - i * hi
     I = r * hi + i * hr
     return R, I
+
+
+def mdist_ini(es: float):
+    """Coefficients for the evaluation of the geodesic meridional distance
+    (reference src/proj_mdist.cpp:18-63, proj_mdist_ini)."""
+    MAX_ITER = 20
+    E = [1.0]
+    ens = es
+    numf = twon1 = denfi = 1.0
+    denf = 1.0
+    twon = 4.0
+    Es = 1.0
+    El = 1.0
+    i = 1
+    while i < MAX_ITER:
+        numf *= twon1 * twon1
+        den = twon * denf * denf * twon1
+        T = numf / den
+        E.append(T * ens)
+        Es -= E[i]
+        ens *= es
+        twon *= 4.0
+        denfi += 1.0
+        denf *= denfi
+        twon1 += 2.0
+        i += 1
+        if Es == El:
+            break
+        El = Es
+    nb = i - 1
+    b = np.zeros(i)
+    b[0] = run = 1.0 - Es
+    numf = denf = 1.0
+    numfi, denfi = 2.0, 3.0
+    for j in range(1, i):
+        run -= E[j]
+        numf *= numfi
+        denf *= denfi
+        b[j] = run * numf / denf
+        numfi += 2.0
+        denfi += 2.0
+    return {"nb": nb, "es": es, "E": Es, "b": b}
+
+
+def mdist(phi, sphi, cphi, md):
+    """Geodesic meridional distance (proj_mdist.cpp:64-77)."""
+    b = md["b"]
+    sc = sphi * cphi
+    sphi2 = sphi * sphi
+    D = phi * md["E"] - md["es"] * sc / np.sqrt(1.0 - md["es"] * sphi2)
+    s = b[md["nb"]]
+    for j in range(md["nb"] - 1, -1, -1):
+        s = b[j] + sphi2 * s
+    return D + sc * s
+
+
+def inv_mdist(dist, md):
+    """Inverse geodesic meridional distance via Newton iteration
+    (proj_mdist.cpp:78-97).  Returns (phi, converged_mask)."""
+    k = 1.0 / (1.0 - md["es"])
+    phi = np.array(dist, dtype=np.float64, copy=True)
+    done = np.zeros(np.shape(phi), dtype=bool)
+    for _ in range(20):
+        s = np.sin(phi)
+        t = 1.0 - md["es"] * s * s
+        step = (mdist(phi, s, np.cos(phi), md) - dist) * (t * np.sqrt(t)) * k
+        phi = np.where(done, phi, phi - step)
+        done = done | (np.abs(step) < 1e-14)
+        if done.all():
+            break
+    return phi, done
+
+
+def zpoly1d(z, C):
+    """f(z) = z * sum C[i] z^i and df/dz, complex Horner
+    (reference src/zpoly1.cpp pj_zpoly1/pj_zpolyd1)."""
+    p = np.full_like(z, C[-1])
+    dp = np.zeros_like(z)
+    for coef in C[-2::-1]:
+        dp = p + z * dp
+        p = coef + z * p
+    return z * p, p + z * dp

@@ -41,4 +41,8 @@ from proj_ray.ops import (  # noqa: F401,E402
     omerc,
     krovak,
     satellite,
+    pcyl_poly,
+    regional,
+    mod_ster,
+    bipc_imw,
 )
