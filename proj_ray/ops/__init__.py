@@ -45,4 +45,7 @@ from proj_ray.ops import (  # noqa: F401,E402
     regional,
     mod_ster,
     bipc_imw,
+    sat_orbit,
+    healpix,
+    misc_oblique,
 )
