@@ -32,6 +32,7 @@ DATUMS = {
         "ellps=mod_airy towgs84=482.530,-130.596,564.557,-1.042,-0.214,"
         "-0.631,8.15",
     "nzgd49": "ellps=intl towgs84=59.47,-5.04,187.44,0.47,-0.1,1.024,-4.5993",
+    "potsdam": "ellps=bessel nadgrids=@BETA2007.gsb",
     "OSGB36":
         "ellps=airy towgs84=446.448,-125.157,542.060,0.1502,0.2470,0.8421,"
         "-20.4894",

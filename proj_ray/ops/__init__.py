@@ -48,4 +48,5 @@ from proj_ray.ops import (  # noqa: F401,E402
     sat_orbit,
     healpix,
     misc_oblique,
+    special_regional,
 )

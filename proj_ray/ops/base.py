@@ -409,6 +409,23 @@ class Operation:
         self._datum_helmert = None
         self._cart_local = None
         self._cart_wgs84 = None
+        # +nadgrids / +geoidgrids datum helpers (reference fwd.cpp:87-91:
+        # hgridshift INV takes priority over helmert in fwd_prepare;
+        # vgridshift FWD follows; inv_finalize reverses both)
+        self._datum_hgrid = None
+        self._datum_vgrid = None
+        ng = params.s("nadgrids")
+        gg = params.s("geoidgrids")
+        if ng and ng != "@null" and not self._no_datum_helpers:
+            from proj_ray.ops.gridshift import HGridShift
+
+            self._datum_hgrid = HGridShift(
+                Params.parse(f"proj=hgridshift grids={ng}"))
+        if gg and gg != "@null" and not self._no_datum_helpers:
+            from proj_ray.ops.gridshift import VGridShift
+
+            self._datum_vgrid = VGridShift(
+                Params.parse(f"proj=vgridshift grids={gg}"))
         tw = params.s("towgs84")
         if tw is not None and not self._no_datum_helpers:
             # All-zero shifts on a WGS84/GRS80-sized ellipsoid mean "is
@@ -500,12 +517,16 @@ class Operation:
                 self._geocentric_latitude(c, forward=False)
             if not self.over:
                 c.x = m.adjlon(c.x)
-            if self._datum_helmert is not None:
+            if self._datum_hgrid is not None:
+                self._datum_hgrid._inv(c)  # WGS84 -> local via grid
+            elif self._datum_helmert is not None:
                 from proj_ray.ops.cart import cart_fwd_core, cart_inv_core
 
                 cart_fwd_core(self._cart_wgs84, c)  # WGS84 angular -> XYZ
                 self._datum_helmert._inv(c)  # step into local frame
                 cart_inv_core(self._cart_local, c)  # XYZ -> local angular
+            if self._datum_vgrid is not None:
+                self._datum_vgrid._fwd(c)  # orthometric from geometric
             c.x = c.x - self.from_greenwich - self.lam0
             if not self.over:
                 c.x = m.adjlon(c.x)
@@ -567,7 +588,11 @@ class Operation:
             c.x = c.x + self.from_greenwich + self.lam0
             if not self.over:
                 c.x = m.adjlon(c.x)
-            if self._datum_helmert is not None:
+            if self._datum_vgrid is not None:
+                self._datum_vgrid._inv(c)  # geometric from orthometric
+            if self._datum_hgrid is not None:
+                self._datum_hgrid._fwd(c)  # local -> WGS84 via grid
+            elif self._datum_helmert is not None:
                 from proj_ray.ops.cart import cart_fwd_core, cart_inv_core
 
                 cart_fwd_core(self._cart_local, c)  # local angular -> XYZ

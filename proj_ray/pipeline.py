@@ -178,9 +178,16 @@ def create_operation(defn: str) -> Pipeline:
     if any(t.startswith("init=") for t in kvs):
         raise ProjError("unknown or unsupported: init code not in the "
                         "EPSG shim table")
-    if any(t.startswith("datum=") or t.startswith("nadgrids=")
-           or t.startswith("geoidgrids=") for t in kvs):
+    if any(t.startswith("datum=") for t in kvs):
         raise ProjError("unknown or unsupported: datum/grid catalog lookups")
+    for t in kvs:
+        if t.startswith(("nadgrids=", "geoidgrids=", "grids=")):
+            from proj_ray.ops.gridshift import validate_grid_spec
+
+            spec = t.split("=", 1)[1]
+            if not validate_grid_spec(spec):
+                raise ProjError(
+                    "unknown or unsupported: datum/grid catalog lookups")
     # split into global / step token groups
     if any(t == "proj=pipeline" for t in kvs):
         groups: List[List[str]] = []
