@@ -91,6 +91,10 @@ EPSG_INIT = {
              "ellps=intl towgs84=-106.869,52.2978,-103.724 "
              "units=m",  # Belge Lambert 72 (3-param)
     "32631": "proj=utm zone=31 datum=WGS84 units=m",
+    "3568": "proj=lcc lat_1=41.78333333333333 lat_2=40.71666666666667 "
+            "lat_0=40.33333333333333 lon_0=-111.5 x_0=500000.00001016 "
+            "y_0=999999.99998983 ellps=GRS80 towgs84=0,0,0 "
+            "units=us-ft",  # NAD83(HARN)/Utah North ftUS (conv 15297)
     "3376": "proj=omerc lat_0=4 lonc=115 alpha=53.31580995 k=0.99984 "
             "x_0=0 y_0=0 no_uoff gamma=53.13010236111111 ellps=GRS80 "
             "towgs84=0,0,0 units=m",  # GDM2000 / East Malaysia BRSO

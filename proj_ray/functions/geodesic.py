@@ -126,8 +126,9 @@ def _C1pf(eps):
 
 
 def _A2m1f(eps):
+    # A2/(1-eps) - 1 = -eps2*(11*eps2^2 + 28*eps2 + 192)/256
     eps2 = eps * eps
-    t = eps2 * (eps2 * (25 * eps2 + 36) + 64) / 256
+    t = -eps2 * (eps2 * (11 * eps2 + 28) + 192) / 256
     return (t - eps) / (1 + eps)
 
 
@@ -215,8 +216,10 @@ class Geodesic:
         return sbet, cbet
 
     # ------------------------------------------------------------------
-    def direct(self, lat1, lon1, azi1, s12):
-        """Direct problem: (lat1, lon1, azi1, s12) -> (lat2, lon2, azi2)."""
+    def direct(self, lat1, lon1, azi1, s12, extra=False):
+        """Direct problem: (lat1, lon1, azi1, s12) -> (lat2, lon2, azi2);
+        with extra=True also returns (m12, M12) — reduced length and
+        geodesic scale (geod_genposition outputs)."""
         lat1, lon1, azi1, s12 = np.broadcast_arrays(
             *(np.asarray(v, dtype=np.float64)
               for v in (lat1, lon1, azi1, s12)))
@@ -281,11 +284,19 @@ class Geodesic:
         lon2 = _ang_normalize(_ang_normalize(lon1) + _ang_normalize(lon12))
         lat2 = _atan2d(sbet2, self.f1 * cbet2)
         azi2 = _atan2d(salp2, calp2)
-        return lat2, lon2, azi2
+        if not extra:
+            return lat2, lon2, azi2
+        dn2 = np.sqrt(1 + self.ep2 * sbet2 * sbet2)
+        _, m12b, M12, _ = self._lengths(eps, sig12, ssig1, csig1, dn1,
+                                        ssig2, csig2, dn2,
+                                        cbet1=cbet1, cbet2=cbet2, scale=True)
+        return lat2, lon2, azi2, m12b * self.b, M12
 
     # ------------------------------------------------------------------
-    def _lengths(self, eps, sig12, ssig1, csig1, dn1, ssig2, csig2, dn2):
-        """Return (s12b, m12b)."""
+    def _lengths(self, eps, sig12, ssig1, csig1, dn1, ssig2, csig2, dn2,
+                 cbet1=None, cbet2=None, scale=False):
+        """Return (s12b, m12b) or with scale=True (s12b, m12b, M12, M21)
+        — geodesic scale per Karney 2013 eq. 38 / geodesic.c Lengths."""
         A1m1 = _A1m1f(eps)
         A2m1 = _A2m1f(eps)
         C1a = _C1f(eps)
@@ -299,7 +310,13 @@ class Geodesic:
         m12b = (dn2 * (csig1 * ssig2) - dn1 * (ssig1 * csig2)
                 - csig1 * csig2 * J12)
         s12b = (1 + A1m1) * (sig12 + B1d)
-        return s12b, m12b
+        if not scale:
+            return s12b, m12b
+        csig12 = csig1 * csig2 + ssig1 * ssig2
+        t = (self.ep2 * (cbet1 - cbet2) * (cbet1 + cbet2) / (dn1 + dn2))
+        M12 = csig12 + (t * ssig2 - csig2 * J12) * ssig1 / dn1
+        M21 = csig12 - (t * ssig1 - csig1 * J12) * ssig2 / dn2
+        return s12b, m12b, M12, M21
 
     def _lambda12(self, sbet1, cbet1, dn1, sbet2, cbet2, dn2, salp1, calp1,
                   diffp):
@@ -438,8 +455,10 @@ class Geodesic:
         salp1, calp1 = _norm2(salp1, calp1)
         return sig12, salp1, calp1, dnm
 
-    def inverse(self, lat1, lon1, lat2, lon2):
-        """Inverse problem: returns (s12 meters, azi1 deg, azi2 deg)."""
+    def inverse(self, lat1, lon1, lat2, lon2, extra=False):
+        """Inverse problem: returns (s12 meters, azi1 deg, azi2 deg);
+        with extra=True also (m12, M12, M21) — reduced length and
+        geodesic scales (geod_geninverse outputs)."""
         lat1, lon1, lat2, lon2 = np.broadcast_arrays(
             *(np.asarray(v, dtype=np.float64)
               for v in (lat1, lon1, lat2, lon2)))
@@ -477,6 +496,9 @@ class Geodesic:
         slam12, clam12 = _sincosd(lon12)
 
         s12 = np.full(nrows, np.nan)
+        m12 = np.full(nrows, np.nan)
+        M12 = np.full(nrows, np.nan)
+        M21 = np.full(nrows, np.nan)
         salp1 = np.zeros(nrows)
         calp1 = np.zeros(nrows)
         salp2 = np.zeros(nrows)
@@ -498,10 +520,14 @@ class Geodesic:
                 np.maximum(csig1 * ssig2 - ssig1 * csig2, 0.0),
                 csig1 * csig2 + ssig1 * ssig2)
             eps_m = np.full_like(sig12m, self.n)
-            s12b, m12b = self._lengths(eps_m, sig12m, ssig1, csig1, dn1[mi],
-                                       ssig2, csig2, dn2[mi])
+            s12b, m12b, M12m, M21m = self._lengths(
+                eps_m, sig12m, ssig1, csig1, dn1[mi], ssig2, csig2, dn2[mi],
+                cbet1=cbet1[mi], cbet2=cbet2[mi], scale=True)
             valid = (sig12m < 1) | (m12b >= 0)
             s12[mi] = np.where(valid, s12b * self.b, np.nan)
+            m12[mi] = np.where(valid, m12b * self.b, np.nan)
+            M12[mi] = np.where(valid, M12m, np.nan)
+            M21[mi] = np.where(valid, M21m, np.nan)
             salp1[mi] = sa1
             calp1[mi] = ca1
             salp2[mi] = 0.0
@@ -514,6 +540,10 @@ class Geodesic:
         if np.any(equat):
             ei = equat
             s12[ei] = self.a * lam12[ei]
+            sig12e = lam12[ei] / self.f1
+            m12[ei] = self.b * np.sin(sig12e)
+            M12[ei] = np.cos(sig12e)
+            M21[ei] = np.cos(sig12e)
             salp1[ei] = 1.0
             calp1[ei] = 0.0
             salp2[ei] = 1.0
@@ -533,6 +563,13 @@ class Geodesic:
                 sb1, cb1, d1, sb2, cb2, d2, lm12, sl12, cl12)
             short_exact = sig12g >= 0
             s12g = np.where(short_exact, self.b * dnm * sig12g, np.nan)
+            with np.errstate(all="ignore"):
+                m12g = np.where(short_exact,
+                                self.b * dnm * dnm * np.sin(sig12g / dnm),
+                                np.nan)
+                Mg = np.where(short_exact, np.cos(sig12g / dnm), np.nan)
+            M12g = Mg.copy()
+            M21g = Mg.copy()
             sa2 = np.zeros_like(sa1)
             ca2 = np.zeros_like(ca1)
 
@@ -611,15 +648,22 @@ class Geodesic:
                     tripb = np.where(bisect, tb, tripb)
             newton_rows = ~short_exact
             if np.any(newton_rows):
-                s12b, _ = self._lengths(eps_out, sig12n, ss1, cs1, d1,
-                                        ss2, cs2, d2)
+                s12b, m12b, M12n, M21n = self._lengths(
+                    eps_out, sig12n, ss1, cs1, d1, ss2, cs2, d2,
+                    cbet1=cb1, cbet2=cb2, scale=True)
                 s12g = np.where(newton_rows, s12b * self.b, s12g)
+                m12g = np.where(newton_rows, m12b * self.b, m12g)
+                M12g = np.where(newton_rows, M12n, M12g)
+                M21g = np.where(newton_rows, M21n, M21g)
             if np.any(short_exact):
                 res = self._lambda12(sb1, cb1, d1, sb2, cb2, d2, sa1, ca1,
                                      False)
                 sa2 = np.where(short_exact, res[1], sa2)
                 ca2 = np.where(short_exact, res[2], ca2)
             s12[g] = s12g
+            m12[g] = m12g
+            M12[g] = M12g
+            M21[g] = M21g
             salp1[g] = sa1
             calp1[g] = ca1
             salp2[g] = sa2
@@ -627,6 +671,9 @@ class Geodesic:
 
         # undo canonicalization (reference bookkeeping: swap azimuths on
         # point swap; salp *= swapp*lonsign, calp *= swapp*latsign)
+        tM = M12.copy()
+        M12 = np.where(swapp, M21, M12)
+        M21 = np.where(swapp, tM, M21)
         t_s, t_c = salp1.copy(), calp1.copy()
         salp1 = np.where(swapp, salp2, salp1)
         calp1 = np.where(swapp, calp2, calp1)
@@ -638,6 +685,10 @@ class Geodesic:
         calp2 = calp2 * swsign * latsign
         azi1 = _atan2d(salp1, calp1)
         azi2 = _atan2d(salp2, calp2)
+        if extra:
+            return (s12.reshape(shape), azi1.reshape(shape),
+                    azi2.reshape(shape), m12.reshape(shape),
+                    M12.reshape(shape), M21.reshape(shape))
         return (s12.reshape(shape), azi1.reshape(shape), azi2.reshape(shape))
 
 

@@ -49,4 +49,5 @@ from proj_ray.ops import (  # noqa: F401,E402
     healpix,
     misc_oblique,
     special_regional,
+    isea,
 )

@@ -199,19 +199,76 @@ class Ortho(Operation):
 
 @register
 class Gnom(Operation):
-    """Gnomonic (reference src/projections/gnom.cpp) — spherical only."""
+    """Gnomonic (reference src/projections/gnom.cpp).  Spherical closed
+    form; the ellipsoidal variant projects along geodesics with
+    rho = m12/M12 (gnom.cpp:118-185, Karney's generalized gnomonic)."""
 
     name = "gnom"
 
     def setup(self, params: Params) -> None:
-        if self.es != 0:
-            raise ProjError("unknown or unsupported: ellipsoidal gnomonic "
-                            "(geodesic m12/M12 form) not implemented")
         self.sinph0 = float(np.sin(self.phi0))
         self.cosph0 = float(np.cos(self.phi0))
         self.mode = _mode_of(self.phi0)
+        self.ell_mode = self.es != 0
+        if self.ell_mode:
+            from proj_ray.functions.geodesic import Geodesic
+
+            # unit-radius geodesic: outputs scale by a in finalize
+            self.geod = Geodesic(1.0, self.ell.f)
+            self.es = 0.0
+
+    def _fwd_ell(self, c: Coords) -> None:
+        lat0 = self.phi0 * m.RAD_TO_DEG
+        lat1 = c.y * m.RAD_TO_DEG
+        lon1 = c.x * m.RAD_TO_DEG
+        with np.errstate(all="ignore"):
+            _, azi0, _, mm, M12, _ = self.geod.inverse(
+                np.full_like(lat1, lat0), np.zeros_like(lon1), lat1, lon1,
+                extra=True)
+            bad = ~(M12 > 0)
+            rho = mm / np.where(bad, 1.0, M12)
+            azi0 = np.radians(azi0)
+            c.set_error(bad, ERR_OUTSIDE_DOMAIN)
+            c.x = np.where(bad, np.nan, rho * np.sin(azi0))
+            c.y = np.where(bad, np.nan, rho * np.cos(azi0))
+
+    def _inv_ell(self, c: Coords) -> None:
+        # Newton solve along the geodesic line (gnom.cpp:139-185)
+        eps_ = 0.01 * np.sqrt(np.finfo(float).eps)
+        lat0 = self.phi0 * m.RAD_TO_DEG
+        x, y = c.x, c.y
+        with np.errstate(all="ignore"):
+            azi0 = np.degrees(np.arctan2(x, y))
+            rho = np.hypot(x, y)
+            s = np.arctan(rho)
+            little = rho <= 1
+            rho = np.where(little, rho, 1.0 / rho)
+            lat1 = np.zeros_like(x)
+            lon1 = np.zeros_like(x)
+            trip = np.zeros(x.shape, dtype=bool)
+            final = np.zeros(x.shape, dtype=bool)
+            for _ in range(10):
+                latn, lonn, _, mm, M12 = self.geod.direct(
+                    np.full_like(x, lat0), np.zeros_like(x), azi0, s,
+                    extra=True)
+                lat1 = np.where(final, lat1, latn)
+                lon1 = np.where(final, lon1, lonn)
+                final = final | trip
+                if final.all():
+                    break
+                ds = np.where(little, (mm - rho * M12) * M12,
+                              (rho * mm - M12) * mm)
+                s = np.where(final, s, s - ds)
+                trip = trip | ~(np.abs(ds) >= eps_)
+        bad = ~trip
+        c.set_error(bad, ERR_OUTSIDE_DOMAIN)
+        c.x = np.where(bad, np.nan, np.radians(lon1))
+        c.y = np.where(bad, np.nan, np.radians(lat1))
 
     def _fwd(self, c: Coords) -> None:
+        if self.ell_mode:
+            self._fwd_ell(c)
+            return
         lam, phi = c.x, c.y
         sinphi = np.sin(phi)
         cosphi = np.cos(phi)
@@ -241,6 +298,9 @@ class Gnom(Operation):
         c.x, c.y = x, y
 
     def _inv(self, c: Coords) -> None:
+        if self.ell_mode:
+            self._inv_ell(c)
+            return
         x, y = c.x.copy(), c.y.copy()
         rh = np.hypot(x, y)
         z = np.arctan(rh)

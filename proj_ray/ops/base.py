@@ -103,7 +103,7 @@ class Params:
         """Glue 'key = value' and 'a, b' token splits back together and
         drop line-continuation backslashes (the reference's argument
         trimming, src/pj_strtod.cpp / pj_trim_argv, tolerates both)."""
-        s = defn.replace("\\", " ")
+        s = defn.replace("\\", " ").replace(";", " ")
         s = re.sub(r"\s*=\s*", "=", s)
         s = re.sub(r",\s+", ",", s)
         return s
