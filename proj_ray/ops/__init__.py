@@ -50,4 +50,5 @@ from proj_ray.ops import (  # noqa: F401,E402
     misc_oblique,
     special_regional,
     isea,
+    adams,
 )

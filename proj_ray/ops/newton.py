@@ -57,5 +57,12 @@ def generic_inverse_2d(op, x, y, lam_init, phi_init, tol=1e-12, iters=15):
                        np.clip(lam - step_lam, -m.M_PI, m.M_PI))
         phi = np.where(done | (y == 0), phi,
                        np.clip(phi - step_phi, -m.M_HALFPI, m.M_HALFPI))
+    if not np.all(done):
+        # Final acceptance pass: the last update is otherwise never
+        # checked, and near fp plateaus of the forward the xy residual
+        # stalls ~1e-9 above tol while lam/phi are already converged to
+        # far below any output tolerance — accept at 100x tol.
+        fx, fy = _eval_fwd(op, lam, phi)
+        done |= (np.abs(fx - x) < 100 * tol) & (np.abs(fy - y) < 100 * tol)
     lam = np.where(done, lam, np.where(np.isnan(x), np.nan, lam))
     return lam, phi, done

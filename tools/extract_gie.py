@@ -33,6 +33,11 @@ FILES = [
     "gie/4D-API_cs2cs-style.gie",
     "gie/DHDN_ETRS89.gie",
     "gie/GDA.gie",
+    "gie/adams_hemi.gie",
+    "gie/adams_ws1.gie",
+    "gie/adams_ws2.gie",
+    "gie/guyou.gie",
+    "gie/peirce_q.gie",
     "gigs/5101.1-jhs.gie",
     "gigs/5101.2-jhs.gie",
     "gigs/5101.3-jhs.gie",
