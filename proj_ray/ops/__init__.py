@@ -51,4 +51,6 @@ from proj_ray.ops import (  # noqa: F401,E402
     special_regional,
     isea,
     adams,
+    tinshift,
+    deformation,
 )

@@ -474,3 +474,20 @@ class GridShift(_GridShiftBase):
         if s.shape[-1] >= 3:
             c.z = c.z + s[:, 2]
         self._miss(c, found)
+
+
+def read_ctable2(path: str) -> ShiftGrid:
+    """CTable2 horizontal grid: 160-byte little-endian header with west,
+    south, resX, resY doubles (radians) at offset 96 and width/height
+    int32 at 128; float32 (longShift, latShift) pairs west-to-east,
+    south-to-north, stored raw (grids.cpp CTable2Grid::open/valueAt —
+    no NTv2 sign convention)."""
+    with open(path, "rb") as f:
+        raw = f.read()
+    west, south, res_x, res_y = np.frombuffer(raw, dtype="<f8", count=4,
+                                              offset=96)
+    width, height = np.frombuffer(raw, dtype="<i4", count=2, offset=128)
+    vals = np.frombuffer(raw, dtype="<f4", count=int(width) * int(height) * 2,
+                         offset=160).astype(np.float64)
+    values = vals.reshape(int(height), int(width), 2)
+    return ShiftGrid(west, south, res_x, res_y, values)

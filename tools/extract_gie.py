@@ -38,6 +38,8 @@ FILES = [
     "gie/adams_ws2.gie",
     "gie/guyou.gie",
     "gie/peirce_q.gie",
+    "gie/tinshift.gie",
+    "gie/deformation.gie",
     "gigs/5101.1-jhs.gie",
     "gigs/5101.2-jhs.gie",
     "gigs/5101.3-jhs.gie",
