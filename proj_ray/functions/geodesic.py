@@ -405,15 +405,23 @@ class Geodesic:
         sbetm2 = (sbet1 + sbet2) ** 2
         sbetm2 = sbetm2 / (sbetm2 + (cbet1 + cbet2) ** 2)
         dnm = np.where(shortline, np.sqrt(1 + self.ep2 * sbetm2), 1.0)
-        omg12 = np.where(shortline, lam12 / (f1 * dnm), lam12)
-        somg12 = np.sin(omg12)
-        comg12 = np.cos(omg12)
+        omg12 = lam12 / (f1 * dnm)
+        # non-shortline branch uses the exact slam12/clam12 rather than
+        # sin/cos(lam12) (geodesic.c:1256-1257, exact at lam12 = pi)
+        somg12 = np.where(shortline, np.sin(omg12), slam12)
+        comg12 = np.where(shortline, np.cos(omg12), clam12)
 
         salp1 = cbet2 * somg12
+        # both np.where arms evaluate: guard the 1±comg12 denominators
+        # (comg12 == ±1 at coincident longitudes / antipodal points)
+        den_p = 1 + comg12
+        den_m = 1 - comg12
         calp1 = np.where(
             comg12 >= 0,
-            sbet12 + cbet2 * sbet1 * somg12 * somg12 / (1 + comg12),
-            sbet12a - cbet2 * sbet1 * somg12 * somg12 / (1 - comg12))
+            sbet12 + cbet2 * sbet1 * somg12 * somg12
+            / np.where(den_p == 0, 1.0, den_p),
+            sbet12a - cbet2 * sbet1 * somg12 * somg12
+            / np.where(den_m == 0, 1.0, den_m))
         ssig12 = np.hypot(salp1, calp1)
         csig12 = sbet1 * sbet2 + cbet1 * cbet2 * comg12
 

@@ -23,6 +23,14 @@ TOL = 1e-8
 MAX_ITER = 10
 
 
+def _is_ctable2(path: str) -> bool:
+    try:
+        with open(path, "rb") as f:
+            return f.read(11) == b"CTABLE V2.0"
+    except OSError:
+        return False
+
+
 @register
 class Deformation(Operation):
     name = "deformation"
@@ -41,10 +49,14 @@ class Deformation(Operation):
                             "GeoTIFF deformation models are out of scope")
         xy_path = resolve_grid_path(params.s("xy_grids"))
         z_path = resolve_grid_path(params.s("z_grids"))
-        if xy_path is None or not xy_path.endswith(".ct2"):
+        # Format is detected by content, not filename: CTable2 carries a
+        # "CTABLE V2.0" magic in its 160-byte header (grids.cpp
+        # CTable2Grid::open); GTX has no magic, so any resolvable file is
+        # attempted (grids.cpp GTXVerticalShiftGrid::open).
+        if xy_path is None or not _is_ctable2(xy_path):
             raise ProjError("deformation: could not find requested "
                             "xy_grid(s)")
-        if z_path is None or not z_path.endswith(".gtx"):
+        if z_path is None:
             raise ProjError("deformation: could not find requested z_grid(s)")
         self.hgrid = read_ctable2(xy_path)
         self.vgrid = read_gtx(z_path)

@@ -348,6 +348,23 @@ class _GridShiftBase(Operation):
         # vertical: historical forward ADDS multiplier*N with default
         # multiplier -1 (vgridshift.cpp:199-204)
         self.fm = params.f("multiplier", -1.0)
+        # time bracket (vgridshift.cpp:176-199, hgridshift.cpp identical):
+        # when both +t_epoch and +t_final are set (nonzero), the shift is
+        # applied only where t < t_epoch and t_final > t_epoch.
+        self.t_epoch = params.f("t_epoch", 0.0)
+        self.t_final = 0.0
+        if params.has("t_final"):
+            raw = params.s("t_final", "")
+            try:
+                self.t_final = float(raw)
+            except (TypeError, ValueError):
+                if raw == "now":
+                    import time
+
+                    now = time.localtime()
+                    # reference: 1900 + tm_year + tm_yday/365 (tm_year is
+                    # years since 1900; Python's is the full year)
+                    self.t_final = now.tm_year + now.tm_yday / 365.0
         # fail fast on unresolvable specs (reference errors at init too)
         if not validate_grid_spec(spec):
             raise ProjError(f"unknown or unsupported grid format: {spec!r} "
@@ -377,7 +394,32 @@ class _GridShiftBase(Operation):
             c.y = np.where(bad, np.nan, c.y)
             c.z = np.where(bad, np.nan, c.z)
 
+    def _time_mask(self, c: Coords):
+        """Per-point application mask for the +t_epoch/+t_final bracket
+        (vgridshift.cpp:102-151): with both set, shift only points with
+        t < t_epoch, and only if t_final > t_epoch."""
+        if self.t_final == 0.0 or self.t_epoch == 0.0:
+            return None
+        if not (self.t_final > self.t_epoch):
+            return np.zeros(c.x.shape, dtype=bool)
+        return c.t < self.t_epoch
+
     def _apply(self, c: Coords, direction: int) -> None:
+        mask = self._time_mask(c)
+        if mask is not None:
+            if not np.any(mask):
+                return
+            keep = c.copy()
+            self._apply_all(c, direction)
+            off = ~mask
+            c.x = np.where(off, keep.x, c.x)
+            c.y = np.where(off, keep.y, c.y)
+            c.z = np.where(off, keep.z, c.z)
+            c.err = np.where(off, keep.err, c.err).astype(keep.err.dtype)
+            return
+        self._apply_all(c, direction)
+
+    def _apply_all(self, c: Coords, direction: int) -> None:
         gl = self.glist
         lam, phi, z = c.x, c.y, c.z
         if self.vertical:
