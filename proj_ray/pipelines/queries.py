@@ -458,15 +458,13 @@ def q_geodesic_pairs(sf_dir: str):
 def q_text_stats(sf_dir: str):
     import ray.data as rd
 
-    from proj_ray.stages.text import TextScorer
+    from proj_ray.stages.text import text_scorer_batch
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
-    out = ds.map_batches(TextScorer, batch_format="pandas",
-                         concurrency=2)
-    return out.map_batches(
-        lambda df: df[["doc_id", "token_count", "char_count", "stop_count"]],
-        batch_format="pandas")
+    out = ds.map_batches(text_scorer_batch, batch_format="pyarrow")
+    return out.select_columns(
+        ["doc_id", "token_count", "char_count", "stop_count"])
 
 
 SQL_TEXT_STATS = """
@@ -721,11 +719,11 @@ def q_media_features(sf_dir: str):
 def q_lang_quality(sf_dir: str):
     import ray.data as rd
 
-    from proj_ray.stages.text import TextScorer, lang_id_batch
+    from proj_ray.stages.text import lang_id_batch, text_scorer_batch
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text", "lang"])
-    out = ds.map_batches(TextScorer, batch_format="pandas", concurrency=2)
+    out = ds.map_batches(text_scorer_batch, batch_format="pyarrow")
     out = out.map_batches(lang_id_batch, batch_format="pandas")
     return out.map_batches(
         lambda df: df[["doc_id", "lang", "lang_pred", "quality_score"]],

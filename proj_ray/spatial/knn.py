@@ -79,8 +79,14 @@ class BruteKNNJoiner:
                 d, _, _ = self.geod.inverse(self.qlat[qi], self.qlon[qi],
                                             lat, lon)
             k = min(self.k, len(d))
-            part = np.argpartition(d, k - 1)[:k]
-            out_q.append(np.full(k, self.qid[qi], dtype=np.int64))
+            # keep k smallest PLUS all ties at the k-th distance: a row
+            # dropped here has d strictly above the batch boundary, so at
+            # least k batch rows beat it under the global lexicographic
+            # (dist_m, doc_id, off) tie-break — block layout can't change
+            # the merged result even with duplicate coordinates
+            kth = np.partition(d, k - 1)[k - 1]
+            part = np.flatnonzero(d <= kth)
+            out_q.append(np.full(len(part), self.qid[qi], dtype=np.int64))
             out_idx.append(part)
             out_d.append(d[part])
         qcol = np.concatenate(out_q)

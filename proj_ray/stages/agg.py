@@ -27,6 +27,18 @@ import pyarrow.compute as pc
 # agg spec: list of (column, fn) with fn in {"sum", "min", "max"}
 
 
+def crc_bucket(col, num_buckets: int) -> np.ndarray:
+    """Vectorized crc32(str(value)) % num_buckets over an Arrow column
+    (the shuffle-bucket key) — replaces a per-value Python loop."""
+    from proj_ray.stages.hashing import arrow_string_bytes, crc32_segments
+
+    if not (pa.types.is_string(col.type)
+            or pa.types.is_large_string(col.type)):
+        col = pc.cast(col, pa.string())
+    data, off = arrow_string_bytes(col)
+    return (crc32_segments(data, off) % num_buckets).astype(np.int64)
+
+
 def combine_block(batch: pa.Table, keys: Sequence[str],
                   aggs: Sequence[Tuple[str, str]]) -> pa.Table:
     """One C++ hash-aggregate over a block, preserving column names."""
@@ -68,12 +80,8 @@ def hash_shuffle_aggregate(ds, keys: Sequence[str],
     a = list(aggs)
 
     def add_bucket(batch: pa.Table) -> pa.Table:
-        import zlib
-
         partial = combine_block(batch, k, a)  # combine before the shuffle
-        vals = partial.column(k[0]).to_pylist()
-        h = np.array([zlib.crc32(str(v).encode()) % num_buckets
-                      for v in vals], dtype=np.int64)
+        h = crc_bucket(partial.column(k[0]), num_buckets)
         return partial.append_column("__bucket", pa.array(h))
 
     def combine_group(batch: pa.Table) -> pa.Table:

@@ -101,48 +101,96 @@ def kmeans_lite(mat: np.ndarray, n_centroids: int, iters: int = 5,
 
 
 class IVFScorer:
+    """Actor-pool IVF probe stage.
+
+    Per batch: ONE matmul assigns each vector to its coarse centroid,
+    rows outside every probed bucket are dropped BEFORE scoring (the
+    pruning win — only |probed|/|centroids| of the stream is scored),
+    then a single (nq x survivors) matmul with a per-query bucket mask
+    yields vectorized partial top-k across all queries at once."""
+
     def __init__(self, qmat_ref, qids_ref, probe_ref, cent_ref, k: int):
         import ray
 
         self.q = ray.get(qmat_ref)
         self.qids = ray.get(qids_ref)
-        self.probe = ray.get(probe_ref)  # (nq, nprobe) bucket ids
+        probe = ray.get(probe_ref)  # (nq, nprobe) bucket ids
         self.cent = ray.get(cent_ref)
         self.k = k
+        nq, nc = len(self.qids), len(self.cent)
+        # (nq, n_centroids) lookup: does query q probe bucket b?
+        self.probe_mask = np.zeros((nq, nc), dtype=bool)
+        self.probe_mask[np.repeat(np.arange(nq), probe.shape[1]),
+                        probe.reshape(-1)] = True
+        self.any_probed = self.probe_mask.any(axis=0)
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         emb = _normalize(np.vstack(batch["embedding"].to_numpy())
                          .astype(np.float64))
         buckets = np.argmax(emb @ self.cent.T, axis=1)
-        vids = batch["vec_id"].to_numpy()
-        out = {"query_id": [], "vec_id": [], "cosine": []}
-        for qi in range(len(self.qids)):
-            mask = np.isin(buckets, self.probe[qi])
-            if not mask.any():
-                continue
-            sims = self.q[qi] @ emb[mask].T
-            sel_ids = vids[mask]
-            k = min(self.k, len(sims))
-            part = np.argpartition(-sims, k - 1)[:k]
-            out["query_id"].extend([self.qids[qi]] * k)
-            out["vec_id"].extend(sel_ids[part])
-            out["cosine"].extend(sims[part])
+        keep = self.any_probed[buckets]
+        empty = pd.DataFrame({
+            "query_id": pd.Series([], dtype="int64"),
+            "vec_id": pd.Series([], dtype="int64"),
+            "cosine": pd.Series([], dtype="float64")})
+        if not keep.any():
+            return empty
+        emb = emb[keep]
+        buckets = buckets[keep]
+        vids = batch["vec_id"].to_numpy()[keep]
+        sims = self.q @ emb.T                        # (nq, m)
+        mask = self.probe_mask[:, buckets]           # (nq, m)
+        sims = np.where(mask, sims, -np.inf)
+        m = sims.shape[1]
+        k = min(self.k, m)
+        part = np.argpartition(-sims, k - 1, axis=1)[:, :k]  # (nq, k)
+        qidx = np.repeat(np.arange(len(self.qids)), k)
+        sel = part.reshape(-1)
+        cos = sims[qidx, sel]
+        ok = np.isfinite(cos)
+        if not ok.any():
+            return empty
         return pd.DataFrame({
-            "query_id": np.asarray(out["query_id"], dtype=np.int64),
-            "vec_id": np.asarray(out["vec_id"], dtype=np.int64),
-            "cosine": np.round(np.asarray(out["cosine"]), 9),
+            "query_id": self.qids[qidx[ok]].astype(np.int64),
+            "vec_id": vids[sel[ok]].astype(np.int64),
+            "cosine": np.round(cos[ok], 9),
         })
+
+
+def train_centroids(emb_ds, n_centroids: int = 16,
+                    sample_fraction: float = 0.25) -> np.ndarray:
+    """Coarse IVF centroids from a sampled k-means (the only
+    driver-side materialization, bounded by the sample size).
+
+    The sample is selected by vec_id hash, not random_sample, so the
+    same corpus always yields the same centroids regardless of block
+    layout — index builds and streaming probes agree byte-for-byte."""
+    mod = max(2, int(round(1.0 / max(sample_fraction, 1e-6))))
+
+    def pick(batch: pd.DataFrame) -> pd.DataFrame:
+        vid = batch["vec_id"].to_numpy().astype(np.uint64)
+        h = (vid * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
+        return batch[(h % np.uint64(mod)) == 0]
+
+    sample = emb_ds.map_batches(pick, batch_format="pandas").to_pandas() \
+        .sort_values("vec_id")  # block order must not leak into init
+    smat = _normalize(np.vstack(sample["embedding"].to_numpy())
+                      .astype(np.float64))
+    return kmeans_lite(smat, n_centroids)
 
 
 def ann_ivf_topk(emb_ds, queries: Dict, k: int = 5, n_centroids: int = 16,
                  nprobe: int = 4, sample_fraction: float = 0.25,
                  concurrency: int = 2):
+    """Streaming IVF: assign-then-prune inside one actor-pool pass.
+
+    Scan volume is nprobe/n_centroids of the corpus for scoring (the
+    assignment matmul still reads each vector once); for repeated query
+    loads use `ivf_build` + `ann_ivf_topk_indexed`, which persists a
+    bucket-partitioned index so probes READ only the probed buckets."""
     import ray
 
-    sample = emb_ds.random_sample(sample_fraction, seed=3).to_pandas()
-    smat = _normalize(np.vstack(sample["embedding"].to_numpy())
-                      .astype(np.float64))
-    cent = kmeans_lite(smat, n_centroids)
+    cent = train_centroids(emb_ds, n_centroids, sample_fraction)
     qmat = _normalize(np.asarray(queries["embedding"], dtype=np.float64))
     probe = np.argsort(-(qmat @ cent.T), axis=1)[:, :nprobe]
     refs = (ray.put(qmat),
@@ -150,5 +198,55 @@ def ann_ivf_topk(emb_ds, queries: Dict, k: int = 5, n_centroids: int = 16,
             ray.put(probe), ray.put(cent))
     partial = emb_ds.map_batches(
         IVFScorer, fn_constructor_args=(*refs, k),
+        batch_format="pandas", batch_size=8192, concurrency=concurrency)
+    return _driver_merge(partial, k)
+
+
+def ivf_build(emb_ds, index_dir: str, n_centroids: int = 16,
+              sample_fraction: float = 0.25) -> np.ndarray:
+    """Build a persistent IVF index: vectors written as
+    bucket-partitioned parquet (one directory per coarse centroid — the
+    partition IS the shuffle key) plus the centroid matrix.  At scale
+    this is the one-time index build; queries then touch only
+    nprobe/n_centroids of storage."""
+    import ray
+
+    cent = train_centroids(emb_ds, n_centroids, sample_fraction)
+
+    def assign(batch: pd.DataFrame) -> pd.DataFrame:
+        emb = _normalize(np.vstack(batch["embedding"].to_numpy())
+                         .astype(np.float64))
+        batch["bucket"] = np.argmax(emb @ cent.T, axis=1).astype(np.int64)
+        return batch
+
+    emb_ds.map_batches(assign, batch_format="pandas").write_parquet(
+        index_dir, partition_cols=["bucket"])
+    np.save(f"{index_dir}/centroids.npy", cent)
+    return cent
+
+
+def ann_ivf_topk_indexed(index_dir: str, queries: Dict, k: int = 5,
+                         nprobe: int = 4, concurrency: int = 2):
+    """Probe a persisted IVF index: READS only the nprobe bucket
+    partitions per query set (storage-level pruning), scores them
+    exactly, merges partial top-k."""
+    import ray
+    import ray.data as rd
+
+    cent = np.load(f"{index_dir}/centroids.npy")
+    qmat = _normalize(np.asarray(queries["embedding"], dtype=np.float64))
+    probe = np.argsort(-(qmat @ cent.T), axis=1)[:, :nprobe]
+    buckets = np.unique(probe.reshape(-1))
+    import glob
+
+    paths = [p for b in buckets
+             for p in sorted(glob.glob(f"{index_dir}/bucket={b}/*.parquet"))]
+    ds = rd.read_parquet(paths)
+    qref = ray.put(qmat)
+    iref = ray.put(np.asarray(queries["query_id"], dtype=np.int64))
+    pref = ray.put(probe)
+    cref = ray.put(cent)
+    partial = ds.map_batches(
+        IVFScorer, fn_constructor_args=(qref, iref, pref, cref, k),
         batch_format="pandas", batch_size=8192, concurrency=concurrency)
     return _driver_merge(partial, k)

@@ -1,42 +1,62 @@
 """Deduplication operators over the `documents` table.
 
 All follow the scale pattern from the guide: vectorized per-batch
-shingling/hashing inside map_batches, then ONE small groupby over
-compact keys — never a shuffle of full documents.
+shingling/hashing inside map_batches (stages/hashing.py NumPy kernels
+over the raw Arrow buffers — no per-row Python), then shuffles keyed by
+compact values — never a driver-side materialization of the corpus.
 
 * exact_dedup       — md5(text) hash-partition + per-group min(doc_id)
                       (SQL-oracle-checkable).
 * minhash_lsh_pairs — shingle -> 64-perm MinHash -> banded LSH buckets
-                      -> candidate pairs -> exact Jaccard verify.
+                      -> candidate pairs -> exact Jaccard verify via a
+                      doc_id-keyed SHUFFLE JOIN of pair rows to per-doc
+                      shingle sets (work scales with candidate count,
+                      the driver never sees document text).
 * simhash64         — 64-bit SimHash over token hashes; near-dup pairs
                       by Hamming distance within LSH-rotated buckets.
-* embedding_near_dup— cosine near-duplicates over the embeddings table
-                      (block-matmul against a broadcast matrix).
+* embedding_near_dup— cosine near-duplicates via random-hyperplane LSH
+                      banding (the shuffle key) + exact cosine verify
+                      inside each bucket; band count/width auto-sized
+                      from the threshold for ~99% recall at the
+                      threshold boundary.
 """
 
 from __future__ import annotations
 
 import hashlib
-import zlib
-from typing import Tuple
+from typing import Dict, Tuple
 
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-_MERSENNE = (1 << 61) - 1
+_MERSENNE = np.uint64((1 << 61) - 1)
 _N_PERM = 64
 _N_BANDS = 16  # 4 rows per band
+_MIX = np.uint64(0x9E3779B97F4A7C15)
 
 
 def _perm_params(n_perm: int = _N_PERM, seed: int = 99):
     rng = np.random.default_rng(seed)
-    a = rng.integers(1, _MERSENNE, size=n_perm, dtype=np.int64)
-    b = rng.integers(0, _MERSENNE, size=n_perm, dtype=np.int64)
-    return a, b
+    a = rng.integers(1, (1 << 61) - 1, size=n_perm, dtype=np.int64)
+    b = rng.integers(0, (1 << 61) - 1, size=n_perm, dtype=np.int64)
+    return a.astype(np.uint64), b.astype(np.uint64)
 
 
 _PERM_A, _PERM_B = _perm_params()
+
+
+def _join_partitions(cap: int = 16) -> int:
+    """Hash-join partition count sized to the cluster: each partition
+    pins an aggregator actor, so more partitions than cores deadlocks
+    small clusters and over-fragments large ones."""
+    import ray
+
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+    except Exception:
+        cpus = 4
+    return max(2, min(cap, cpus // 2))
 
 
 def text_md5_batch(batch: pd.DataFrame) -> pd.DataFrame:
@@ -58,179 +78,383 @@ def exact_dedup(docs_ds):
                                   num_buckets=32)
 
 
-def shingle_hashes(text: str, n: int = 4) -> np.ndarray:
-    """crc32 hashes of character n-gram shingles (stable)."""
-    b = text.encode()
-    if len(b) < n:
-        return np.array([zlib.crc32(b)], dtype=np.int64)
-    return np.unique(np.fromiter(
-        (zlib.crc32(b[i:i + n]) for i in range(len(b) - n + 1)),
-        dtype=np.int64, count=len(b) - n + 1))
+# --------------------------- MinHash / LSH ---------------------------------
 
 
-def minhash_signature(text: str) -> np.ndarray:
-    sh = shingle_hashes(text)
-    # (a*x + b) mod p, min over shingles, one per permutation
-    vals = (np.outer(_PERM_A, sh) + _PERM_B[:, None]) % _MERSENNE
-    return vals.min(axis=1)
+def minhash_signatures(text_col) -> np.ndarray:
+    """(n_docs, 64) MinHash signatures, vectorized: crc32 4-gram
+    shingles from the raw UTF-8 buffer, then per-permutation
+    (a*x + b mod 2^64) mod p with a segmented min (reduceat)."""
+    from proj_ray.stages.hashing import doc_shingles
+
+    hashes, seg = doc_shingles(text_col, 4)
+    x = hashes.astype(np.uint64)
+    n_docs = len(seg) - 1
+    sig = np.empty((n_docs, _N_PERM), dtype=np.uint64)
+    if n_docs == 0:
+        return sig
+    starts = seg[:-1]
+    for p in range(_N_PERM):
+        vals = (_PERM_A[p] * x + _PERM_B[p]) % _MERSENNE
+        sig[:, p] = np.minimum.reduceat(vals, starts)
+    return sig
 
 
-def minhash_bands_batch(batch: pd.DataFrame) -> pd.DataFrame:
+def band_keys(sig: np.ndarray, n_bands: int = _N_BANDS) -> np.ndarray:
+    """(n_docs, n_bands) uint64 band hashes: xor-multiply mix of each
+    band's signature rows (vectorized replacement for per-doc blake2b)."""
+    n_docs, n_perm = sig.shape
+    rpb = n_perm // n_bands
+    out = np.zeros((n_docs, n_bands), dtype=np.uint64)
+    for b in range(n_bands):
+        h = np.full(n_docs, np.uint64(b + 1), dtype=np.uint64)
+        for r in range(rpb):
+            h = (h ^ sig[:, b * rpb + r]) * _MIX
+            h ^= h >> np.uint64(29)
+        out[:, b] = h
+    return out
+
+
+def minhash_bands_batch(batch: pa.Table) -> pa.Table:
     """Emit (band_id, band_hash, doc_id) rows (the LSH explode)."""
-    rows_band = []
-    rows_hash = []
-    rows_doc = []
-    rpb = _N_PERM // _N_BANDS
-    for doc_id, text in zip(batch["doc_id"], batch["text"].fillna("")):
-        sig = minhash_signature(text)
-        for band in range(_N_BANDS):
-            h = hashlib.blake2b(
-                sig[band * rpb:(band + 1) * rpb].tobytes(),
-                digest_size=8).hexdigest()
-            rows_band.append(band)
-            rows_hash.append(h)
-            rows_doc.append(doc_id)
-    return pd.DataFrame({"band_id": rows_band, "band_hash": rows_hash,
-                         "doc_id": rows_doc})
+    sig = minhash_signatures(batch.column("text"))
+    keys = band_keys(sig)
+    n = len(sig)
+    doc = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    return pa.table({
+        "band_id": pa.array(np.tile(np.arange(_N_BANDS, dtype=np.int64), n)),
+        "band_hash": pa.array(keys.reshape(-1)),
+        "doc_id": pa.array(np.repeat(doc, _N_BANDS)),
+    })
+
+
+def shingle_sets_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, shingles binary) with per-doc sorted unique shingle
+    hashes packed as raw int64 bytes — the compact join payload for
+    Jaccard verification (binary because Acero hash joins don't carry
+    list-typed payload columns)."""
+    from proj_ray.stages.hashing import doc_shingles, segment_sorted_unique
+
+    hashes, seg = doc_shingles(batch.column("text"), 4)
+    vals, new_seg = segment_sorted_unique(hashes, seg)
+    n = len(new_seg) - 1
+    byte_off = (new_seg * 8).astype(np.int32)
+    blob = pa.BinaryArray.from_buffers(
+        pa.binary(), n,
+        [None, pa.py_buffer(byte_off.tobytes()),
+         pa.py_buffer(np.ascontiguousarray(vals).tobytes())])
+    return pa.table({"doc_id": batch.column("doc_id"), "shingles": blob})
+
+
+def _binary_int64_segments(col) -> Tuple[np.ndarray, np.ndarray]:
+    """Decode a binary column of packed int64 arrays to
+    (values, element offsets) via the raw buffers (no per-row Python)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    bufs = col.buffers()
+    off = np.frombuffer(bufs[1], dtype=np.int32, count=len(col) + 1,
+                        offset=col.offset * 4).astype(np.int64)
+    data = np.frombuffer(bufs[2], dtype=np.uint8)
+    vals = data[off[0]:off[-1]].view(np.int64)
+    return vals, (off - off[0]) // 8
+
+
+def _list_to_numpy(col) -> Tuple[np.ndarray, np.ndarray]:
+    """Flatten a list column to (values, offsets) with values sliced to
+    the array's own span and offsets rebased to 0 (sliced-array safe)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    off = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    vals = col.values.to_numpy(zero_copy_only=False)
+    return vals[off[0]:off[-1]], off - off[0]
+
+
+def _list_matrix(col) -> np.ndarray:
+    """(n, d) float64 matrix from a fixed-width list<float> column."""
+    vals, off = _list_to_numpy(col)
+    n = len(off) - 1
+    if n == 0:
+        return np.empty((0, 0))
+    return np.asarray(vals, dtype=np.float64).reshape(n, -1)
+
+
+def pair_jaccard(list_a, list_b) -> np.ndarray:
+    """Vectorized Jaccard over row-aligned pairs of sorted-unique
+    packed-binary shingle columns: merge both sides per pair, count
+    adjacent duplicates."""
+    a_vals, a_off = _binary_int64_segments(list_a)
+    b_vals, b_off = _binary_int64_segments(list_b)
+    n = len(a_off) - 1
+    a_counts = np.diff(a_off)
+    b_counts = np.diff(b_off)
+    pid = np.concatenate([
+        np.repeat(np.arange(n, dtype=np.int64), a_counts),
+        np.repeat(np.arange(n, dtype=np.int64), b_counts)])
+    vals = np.concatenate([a_vals, b_vals])
+    order = np.lexsort((vals, pid))
+    v = vals[order]
+    p = pid[order]
+    if len(v) > 1:
+        dup = (v[1:] == v[:-1]) & (p[1:] == p[:-1])
+        inter = np.bincount(p[1:][dup], minlength=n)
+    else:
+        inter = np.zeros(n, dtype=np.int64)
+    union = a_counts + b_counts - inter
+    with np.errstate(invalid="ignore"):
+        return np.where(union > 0, inter / union, 1.0)
 
 
 def minhash_lsh_pairs(docs_ds, jaccard_threshold: float = 0.8):
-    """MinHash-LSH near-dup candidate pairs verified by exact Jaccard.
+    """MinHash-LSH near-dup pairs with exact Jaccard verification.
 
-    Verification joins the pair doc texts via a broadcast dict — valid
-    while candidate count is small relative to the corpus (LSH's
-    purpose); at 100TB the verify stage becomes a second shuffle keyed
-    by doc_id (same semantics).
-    """
-    import ray
-
-    bands = docs_ds.map_batches(minhash_bands_batch, batch_format="pandas")
+    Scale shape: (1) LSH explode + groupby(band) shuffle produces
+    candidate pairs; (2) pairs are verified by joining doc_a and doc_b
+    against the per-doc shingle-set table (two hash-partitioned shuffle
+    joins keyed by doc_id) and computing the exact Jaccard vectorized.
+    The driver never holds document text; all stages stream."""
+    bands = docs_ds.map_batches(minhash_bands_batch, batch_format="pyarrow")
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(g["doc_id"].unique())
-        out = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]]
-        if not out:
-            return pd.DataFrame({"doc_a": [], "doc_b": []})
-        return pd.DataFrame(out, columns=["doc_a", "doc_b"])
+        ids = np.unique(g["doc_id"].to_numpy())
+        if len(ids) < 2:
+            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                                 "doc_b": pd.Series([], dtype="int64")})
+        i, j = np.triu_indices(len(ids), 1)
+        return pd.DataFrame({"doc_a": ids[i], "doc_b": ids[j]})
 
     pairs = (bands.groupby(["band_id", "band_hash"])
              .map_groups(bucket_pairs, batch_format="pandas"))
-    pairs_df = pairs.to_pandas().drop_duplicates()
-    if len(pairs_df) == 0:
-        return pairs_df.assign(jaccard=[])
-    texts = dict(zip(*[docs_ds.select_columns(["doc_id", "text"])
-                       .to_pandas()[c] for c in ("doc_id", "text")]))
-    jac = [
-        _jaccard_texts(texts[a], texts[b])
-        for a, b in zip(pairs_df["doc_a"], pairs_df["doc_b"])
-    ]
-    pairs_df = pairs_df.assign(jaccard=np.round(jac, 9))
-    return pairs_df[pairs_df["jaccard"] >= jaccard_threshold] \
-        .sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    # a pair found in several bands must verify once: distinct via a
+    # small grouped aggregate (count is discarded)
+    from proj_ray.stages.agg import hash_shuffle_aggregate
+    pairs = pairs.map_batches(
+        lambda t: t.append_column("one", pa.array(
+            np.ones(len(t), dtype=np.int64))),
+        batch_format="pyarrow")
+    pairs = hash_shuffle_aggregate(pairs, ["doc_a", "doc_b"],
+                                   [("one", "min")], num_buckets=16)
+    pairs = pairs.drop_columns(["one"])
+
+    sigs = docs_ds.map_batches(shingle_sets_batch, batch_format="pyarrow")
+    # the hash join drops the right key column itself; its aggregator
+    # actors must fit the cluster or the pipeline stalls, so partitions
+    # scale with available CPUs
+    nparts = _join_partitions()
+    joined = pairs.join(sigs, join_type="inner", num_partitions=nparts,
+                        on=("doc_a",), right_on=("doc_id",))
+    joined = joined.rename_columns({"shingles": "sh_a"})
+    joined = joined.join(sigs, join_type="inner", num_partitions=nparts,
+                         on=("doc_b",), right_on=("doc_id",))
+    joined = joined.rename_columns({"shingles": "sh_b"})
+
+    def verify(t: pa.Table) -> pa.Table:
+        jac = np.round(pair_jaccard(t.column("sh_a"), t.column("sh_b")), 9)
+        out = pa.table({"doc_a": t.column("doc_a"),
+                        "doc_b": t.column("doc_b"),
+                        "jaccard": pa.array(jac)})
+        return out.filter(pa.array(jac >= jaccard_threshold))
+
+    verified = joined.map_batches(verify, batch_format="pyarrow")
+    df = verified.to_pandas()  # final result: near-dup pairs (small)
+    return df.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
 def _jaccard_texts(a: str, b: str) -> float:
-    sa = set(shingle_hashes(a).tolist())
-    sb = set(shingle_hashes(b).tolist())
+    """Scalar reference for tests."""
+    import zlib
+
+    def sh(text):
+        bts = text.encode()
+        if len(bts) < 4:
+            return {zlib.crc32(bts)}
+        return {zlib.crc32(bts[i:i + 4]) for i in range(len(bts) - 3)}
+
+    sa, sb = sh(a), sh(b)
     if not sa and not sb:
         return 1.0
     return len(sa & sb) / len(sa | sb)
 
 
-def simhash64_batch(batch: pd.DataFrame) -> pd.DataFrame:
-    """64-bit SimHash over token crc32 hashes (vectorized bit counting)."""
-    out = np.zeros(len(batch), dtype=np.uint64)
-    for i, text in enumerate(batch["text"].fillna("")):
-        toks = text.split()
-        if not toks:
-            continue
-        hs = np.fromiter((zlib.crc32(t.encode()) for t in toks),
-                         dtype=np.uint64, count=len(toks))
-        hs = hs | (np.fromiter(
-            (zlib.crc32(t.encode()[::-1]) for t in toks),
-            dtype=np.uint64, count=len(toks)) << np.uint64(32))
-        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1)
-        counts = bits.sum(axis=0)
-        vote = counts * 2 > len(toks)
-        out[i] = np.sum(vote.astype(np.uint64)
-                        << np.arange(64, dtype=np.uint64))
-    batch["simhash"] = out.astype("uint64")
-    return batch[["doc_id", "simhash"]]
+# ------------------------------ SimHash ------------------------------------
+
+
+def simhash64_batch(batch: pa.Table) -> pa.Table:
+    """64-bit SimHash over whitespace tokens, fully vectorized: token
+    spans from the raw UTF-8 buffer, crc32 span hashes (fwd | rev<<32),
+    per-doc bit votes via segmented sums."""
+    from proj_ray.stages.hashing import (arrow_string_bytes, crc32_spans,
+                                         popcount64)
+
+    data, off = arrow_string_bytes(batch.column("text"))
+    n_docs = len(off) - 1
+    out = np.zeros(n_docs, dtype=np.uint64)
+    if len(data):
+        ws = (data == 32) | ((data >= 9) & (data <= 13))
+        is_tok = ~ws
+        prev = np.empty(len(data), dtype=bool)
+        prev[0] = False
+        prev[1:] = is_tok[:-1]
+        prev[off[:-1][off[:-1] < len(data)]] = False  # reset at doc starts
+        starts = np.flatnonzero(is_tok & ~prev)
+        nxt = np.empty(len(data), dtype=bool)
+        nxt[-1] = False
+        nxt[:-1] = is_tok[1:]
+        doc_last = off[1:] - 1
+        nxt[doc_last[doc_last >= 0]] = False
+        ends = np.flatnonzero(is_tok & ~nxt)
+        lens = ends - starts + 1
+        if len(starts):
+            h_f = crc32_spans(data, starts, lens)
+            h_r = crc32_spans(data, starts, lens, reverse=True)
+            hs = h_f.astype(np.uint64) \
+                | (h_r.astype(np.uint64) << np.uint64(32))
+            tok_doc = np.searchsorted(off, starts, side="right") - 1
+            n_tok = np.bincount(tok_doc, minlength=n_docs)
+            tok_seg = np.zeros(n_docs + 1, dtype=np.int64)
+            np.cumsum(n_tok, out=tok_seg[1:])
+            has = n_tok > 0
+            seg_starts = tok_seg[:-1][has]
+            votes_doc = np.zeros(n_docs, dtype=np.uint64)
+            for j in range(64):
+                bit = ((hs >> np.uint64(j)) & np.uint64(1)).astype(np.int64)
+                cnt = np.add.reduceat(bit, seg_starts)
+                vote = (cnt * 2 > n_tok[has]).astype(np.uint64)
+                votes_doc[has] |= vote << np.uint64(j)
+            out = votes_doc
+    return pa.table({"doc_id": batch.column("doc_id"),
+                     "simhash": pa.array(out)})
 
 
 def simhash_near_pairs(docs_ds, max_hamming: int = 3):
     """Near-dup pairs by SimHash Hamming distance <= max_hamming.
 
     Block-permutation LSH: 4 16-bit chunks as bucket keys; any pair
-    within distance 3 shares at least one chunk."""
-    sh = docs_ds.map_batches(simhash64_batch, batch_format="pandas")
+    within distance 3 shares at least one chunk.  Pair generation and
+    popcount are vectorized; cross-chunk duplicates collapse in a small
+    grouped aggregate, not on the driver."""
+    from proj_ray.stages.agg import hash_shuffle_aggregate
+    from proj_ray.stages.hashing import popcount64
 
-    def explode(batch: pd.DataFrame) -> pd.DataFrame:
-        rows = []
-        for doc_id, h in zip(batch["doc_id"], batch["simhash"]):
-            for chunk in range(4):
-                key = (int(h) >> (16 * chunk)) & 0xFFFF
-                rows.append((chunk, key, doc_id, int(h)))
-        return pd.DataFrame(rows, columns=["chunk", "key", "doc_id", "sh"])
+    sh = docs_ds.map_batches(simhash64_batch, batch_format="pyarrow")
+
+    def explode(t: pa.Table) -> pa.Table:
+        doc = t.column("doc_id").to_numpy(zero_copy_only=False)
+        h = t.column("simhash").to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        n = len(doc)
+        chunk = np.repeat(np.arange(4, dtype=np.int64), n)
+        key = np.concatenate([
+            ((h >> np.uint64(16 * c)) & np.uint64(0xFFFF)).astype(np.int64)
+            for c in range(4)])
+        return pa.table({"chunk": pa.array(chunk), "key": pa.array(key),
+                         "doc_id": pa.array(np.tile(doc, 4)),
+                         "sh": pa.array(np.tile(h, 4))})
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        out = []
-        recs = sorted(set(zip(g["doc_id"], g["sh"])))
-        for i in range(len(recs)):
-            for j in range(i + 1, len(recs)):
-                d = bin(recs[i][1] ^ recs[j][1]).count("1")
-                if d <= max_hamming:
-                    out.append((recs[i][0], recs[j][0], d))
-        return pd.DataFrame(out, columns=["doc_a", "doc_b", "hamming"])
+        ids = g["doc_id"].to_numpy()
+        hh = g["sh"].to_numpy().astype(np.uint64)
+        order = np.argsort(ids)
+        ids, hh = ids[order], hh[order]
+        i, j = np.triu_indices(len(ids), 1)
+        ham = popcount64(hh[i] ^ hh[j])
+        m = ham <= max_hamming
+        return pd.DataFrame({"doc_a": ids[i][m], "doc_b": ids[j][m],
+                             "hamming": ham[m]})
 
-    res = (sh.map_batches(explode, batch_format="pandas")
+    res = (sh.map_batches(explode, batch_format="pyarrow")
            .groupby(["chunk", "key"]).map_groups(pairs,
                                                  batch_format="pandas"))
-    df = res.to_pandas().drop_duplicates(subset=["doc_a", "doc_b"])
+    res = hash_shuffle_aggregate(res, ["doc_a", "doc_b"],
+                                 [("hamming", "min")], num_buckets=16)
+    df = res.to_pandas()
     return df.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
-class EmbeddingNearDup:
-    """Actor-pool stage: cosine similarity of each batch against the
-    broadcast (normalized) embedding matrix; emits pairs >= threshold."""
-
-    def __init__(self, mat_ref, ids_ref, threshold: float):
-        import ray
-
-        self.mat = ray.get(mat_ref)
-        self.ids = ray.get(ids_ref)
-        self.threshold = threshold
-
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        emb = np.vstack(batch["embedding"].to_numpy())
-        emb = emb / np.linalg.norm(emb, axis=1, keepdims=True)
-        sims = emb @ self.mat.T  # (batch, all)
-        out_a = []
-        out_b = []
-        out_s = []
-        vids = batch["vec_id"].to_numpy()
-        for i in range(len(vids)):
-            hits = np.flatnonzero(sims[i] >= self.threshold)
-            for j in hits:
-                if self.ids[j] > vids[i]:  # each unordered pair once
-                    out_a.append(vids[i])
-                    out_b.append(self.ids[j])
-                    out_s.append(sims[i, j])
-        return pd.DataFrame({"vec_a": out_a, "vec_b": out_b,
-                             "cosine": np.round(out_s, 9)})
+# ------------------------- embedding near-dup ------------------------------
 
 
-def embedding_near_dup(emb_ds, threshold: float = 0.95, concurrency: int = 2):
-    import ray
+def auto_lsh_params(threshold: float, target_recall: float = 0.99,
+                    max_bands: int = 32) -> Tuple[int, int]:
+    """(n_bands, band_bits) for random-hyperplane LSH sized so a pair
+    AT the cosine threshold is caught with ~target_recall."""
+    p = 1.0 - np.arccos(np.clip(threshold, -1, 1)) / np.pi
+    band_bits = max(1, int(np.floor(np.log(0.35) / np.log(p))))
+    band_p = p ** band_bits
+    n_bands = int(np.ceil(np.log(1 - target_recall) / np.log(1 - band_p)))
+    return min(max(n_bands, 4), max_bands), band_bits
 
-    df = emb_ds.to_pandas()
-    mat = np.vstack(df["embedding"].to_numpy()).astype(np.float64)
-    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-    mat_ref = ray.put(mat)
-    ids_ref = ray.put(df["vec_id"].to_numpy())
-    return emb_ds.map_batches(
-        EmbeddingNearDup,
-        fn_constructor_args=(mat_ref, ids_ref, threshold),
-        batch_format="pandas",
-        concurrency=concurrency,
-    )
+
+class _HyperplaneBander:
+    """Actor-pool stage: project embeddings on fixed random hyperplanes,
+    emit (band, key, vec_id, embedding) rows for the bucket shuffle."""
+
+    def __init__(self, n_bands: int, band_bits: int, seed: int = 5):
+        self.n_bands = n_bands
+        self.band_bits = band_bits
+        self.seed = seed
+        self.planes = None  # lazily sized from the first batch's dim
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        emb_col = batch.column("embedding")
+        if isinstance(emb_col, pa.ChunkedArray):
+            emb_col = emb_col.combine_chunks()
+        emb = _list_matrix(emb_col)
+        if self.planes is None:
+            rng = np.random.default_rng(self.seed)
+            self.planes = rng.standard_normal(
+                (emb.shape[1], self.n_bands * self.band_bits))
+        bits = (emb @ self.planes) >= 0  # (n, n_bands*band_bits)
+        n = len(emb)
+        weights = (1 << np.arange(self.band_bits, dtype=np.int64))
+        keys = bits.reshape(n, self.n_bands, self.band_bits) @ weights
+        vid = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        idx = np.tile(np.arange(n, dtype=np.int64), self.n_bands)
+        return pa.table({
+            "band": pa.array(np.repeat(
+                np.arange(self.n_bands, dtype=np.int64), n)),
+            "key": pa.array(keys.T.reshape(-1)),
+            "vec_id": pa.array(np.tile(vid, self.n_bands)),
+            "embedding": emb_col.take(pa.array(idx)),
+        })
+
+
+def embedding_near_dup(emb_ds, threshold: float = 0.95,
+                       concurrency: int = 2, seed: int = 5):
+    """Cosine near-duplicate pairs via hyperplane-LSH bucketing.
+
+    Scale shape: vectors are EXPLODED to (band, key) bucket rows (a
+    hash shuffle — ~n_bands x the vector payload, each bucket holding
+    only its own vectors), exact cosine runs inside each bucket, and a
+    final small aggregate dedupes pairs found by several bands.  No
+    whole-corpus broadcast or driver materialization; recall at the
+    threshold boundary is ~99% by construction (auto_lsh_params)."""
+    from proj_ray.stages.agg import hash_shuffle_aggregate
+
+    n_bands, band_bits = auto_lsh_params(threshold)
+    banded = emb_ds.map_batches(
+        _HyperplaneBander,
+        fn_constructor_args=(n_bands, band_bits, seed),
+        batch_format="pyarrow", concurrency=concurrency)
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({
+                "vec_a": pd.Series([], dtype="int64"),
+                "vec_b": pd.Series([], dtype="int64"),
+                "cosine": pd.Series([], dtype="float64")})
+        ids = g["vec_id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        mat = np.vstack(g["embedding"].to_numpy()[order]).astype(np.float64)
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        sims = mat @ mat.T
+        i, j = np.triu_indices(len(ids), 1)
+        keep = (sims[i, j] >= threshold) & (ids[i] != ids[j])
+        return pd.DataFrame({"vec_a": ids[i][keep], "vec_b": ids[j][keep],
+                             "cosine": np.round(sims[i, j][keep], 9)})
+
+    pairs = banded.groupby(["band", "key"]).map_groups(
+        bucket_pairs, batch_format="pandas")
+    deduped = hash_shuffle_aggregate(pairs, ["vec_a", "vec_b"],
+                                     [("cosine", "max")], num_buckets=16)
+    return deduped

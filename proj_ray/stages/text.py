@@ -12,40 +12,75 @@ import re
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 _WORD_RE = re.compile(r"[A-Za-z0-9_]+", re.ASCII)
 STOPWORDS = ("the", "and", "of", "a", "to", "in", "is", "on", "for", "with")
 
 
+_STOP_RE = (r"\b(?:" + "|".join(STOPWORDS) + r")\b")
+
+
 class TextScorer:
-    """Actor-pool stage: language-id n-gram heuristic, quality scoring,
-    token counting, and a rolling-hash fingerprint per document."""
+    """Actor-pool stage: quality scoring, token counting, stopword
+    stats and a rolling-hash fingerprint per document.
+
+    Fully vectorized over the Arrow batch: RE2 kernels
+    (pc.count_substring_regex) for token/stopword counts and the
+    NumPy rolling-hash kernel over the raw UTF-8 buffer
+    (stages/hashing.py) for the fingerprint — no per-row Python."""
 
     def __init__(self):
-        self.word = _WORD_RE
-        self.stop = set(STOPWORDS)
+        # patterns are plain strings for the C++ RE2 kernels; keeping
+        # them on the instance preserves the actor-pool shape
+        self.word_pat = _WORD_RE.pattern
+        self.stop_pat = _STOP_RE
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        text = batch["text"].fillna("")
-        toks = text.str.findall(self.word)
-        n_tok = toks.map(len)
-        batch["token_count"] = n_tok.astype("int64")
-        batch["char_count"] = text.str.len().astype("int64")
-        batch["stop_count"] = toks.map(
-            lambda ws: sum(1 for w in ws if w in self.stop)).astype("int64")
-        batch["stop_ratio"] = np.where(
-            n_tok > 0, batch["stop_count"] / n_tok, 0.0)
-        mean_len = np.where(n_tok > 0, batch["char_count"] / n_tok, 0.0)
-        batch["quality_score"] = np.round(
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        from proj_ray.stages.hashing import rolling_hash_batch
+
+        text = pc.fill_null(batch.column("text"), "")
+        lower = pc.utf8_lower(text)
+        n_tok = pc.count_substring_regex(text, self.word_pat) \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        n_char = pc.utf8_length(text).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        n_stop = pc.count_substring_regex(lower, self.stop_pat) \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            stop_ratio = np.where(n_tok > 0, n_stop / n_tok, 0.0)
+            mean_len = np.where(n_tok > 0, n_char / n_tok, 0.0)
+        quality = np.round(
             np.clip(mean_len / 10.0, 0, 1) * 0.5
-            + np.clip(batch["stop_ratio"] * 5.0, 0, 1) * 0.5, 9)
-        batch["fingerprint"] = text.map(rolling_hash)
-        return batch
+            + np.clip(stop_ratio * 5.0, 0, 1) * 0.5, 9)
+        cols = dict(zip(batch.column_names, batch.columns))
+        cols["token_count"] = pa.array(n_tok)
+        cols["char_count"] = pa.array(n_char)
+        cols["stop_count"] = pa.array(n_stop)
+        cols["stop_ratio"] = pa.array(stop_ratio)
+        cols["quality_score"] = pa.array(quality)
+        cols["fingerprint"] = pa.array(rolling_hash_batch(text))
+        return pa.table(cols)
 
 
-def rolling_hash(s: str, base: int = 257, mod: int = (1 << 61) - 1) -> int:
-    """Polynomial rolling hash of the whole document (document
-    fingerprint; stable across runs/workers)."""
+_SCORER = None
+
+
+def text_scorer_batch(batch: pa.Table) -> pa.Table:
+    """Stateless map_batches wrapper around a process-cached TextScorer
+    (task pools reuse worker processes, so the scorer builds once per
+    worker without paying actor-pool startup on every query)."""
+    global _SCORER
+    if _SCORER is None:
+        _SCORER = TextScorer()
+    return _SCORER(batch)
+
+
+def rolling_hash(s: str, base: int = 257, mod: int = 1 << 64) -> int:
+    """Scalar reference of the vectorized fingerprint
+    (hashing.rolling_hash_batch); kept for tests."""
     h = 0
     for ch in s.encode():
         h = (h * base + ch) % mod

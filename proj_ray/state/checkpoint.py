@@ -39,8 +39,14 @@ class CheckpointWriter:
         return os.path.join(self.root, f"_manifest_{partition_id}.json")
 
     def is_done(self, partition_id: str) -> bool:
+        """Done = valid manifest for THIS config AND the data file it
+        promises actually on disk (a deleted part dir must re-run, a
+        stale-config manifest must not mask a re-run)."""
         path = self._manifest_path(partition_id)
         if not os.path.exists(path):
+            return False
+        data = os.path.join(self.root, f"part={partition_id}", "data.parquet")
+        if not os.path.exists(data):
             return False
         try:
             with open(path) as f:
@@ -87,11 +93,17 @@ class CheckpointWriter:
         return out
 
     def read_all(self) -> pa.Table:
+        """Concatenate only partitions that pass the same validation as
+        is_done — a part dir without a current-config manifest (orphaned
+        or from an older config) is not part of this run's output."""
         parts = []
         for name in sorted(os.listdir(self.root)):
-            p = os.path.join(self.root, name, "data.parquet")
-            if name.startswith("part=") and os.path.exists(p):
-                parts.append(pq.read_table(p))
+            if not name.startswith("part="):
+                continue
+            pid = name[len("part="):]
+            if self.is_done(pid):
+                parts.append(pq.read_table(
+                    os.path.join(self.root, name, "data.parquet")))
         return pa.concat_tables(parts) if parts else pa.table({})
 
 
