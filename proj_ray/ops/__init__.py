@@ -53,4 +53,5 @@ from proj_ray.ops import (  # noqa: F401,E402
     adams,
     tinshift,
     deformation,
+    gridshift_generic,
 )

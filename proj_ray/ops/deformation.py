@@ -31,6 +31,66 @@ def _is_ctable2(path: str) -> bool:
         return False
 
 
+def _load_velocity_grids(spec: str):
+    """GTG 3-channel velocity grids (east/north/up, mm/yr) as ShiftGrids
+    with channels reordered to (E, N, U) — deformation.cpp
+    pj_deformation_get_grid_values channel/unit handling."""
+    from proj_ray.ops.geotiff import TiffError, read_geotiff
+    from proj_ray.ops.gridshift import ShiftGrid, sniff_grid_format
+
+    grids = []
+    for part in spec.split(","):
+        part = part.strip().lstrip("@")
+        if not part:
+            continue
+        path = resolve_grid_path(part)
+        if path is None or sniff_grid_format(path) != "gtiff":
+            raise ProjError("deformation: could not find requested grid(s)")
+        try:
+            gl = read_geotiff(path)
+        except TiffError as exc:
+            raise ProjError("deformation: could not open grid "
+                            f"{part!r} ({exc})") from exc
+        for g in gl:
+            if g.spp < 3:
+                raise ProjError("deformation: grid has not enough samples")
+            i_e, i_n, i_u = 0, 1, 2
+            for i in range(g.spp):
+                d = g.description(i)
+                if d == "east_velocity":
+                    i_e = i
+                elif d == "north_velocity":
+                    i_n = i
+                elif d == "up_velocity":
+                    i_u = i
+            unit = g.unit(i_e)
+            if unit and unit != "millimetres per year":
+                raise ProjError("deformation: only unit=millimetres per "
+                                "year handled")
+            vals = g.values[:, :, [i_e, i_n, i_u]]
+            grids.append(ShiftGrid(g.west, g.south, g.res_x, g.res_y,
+                                   vals, nodata=np.nan))
+    if not grids:
+        raise ProjError("deformation: could not find requested grid(s)")
+    return grids
+
+
+def _sample_velocity(grids, lam, phi):
+    """(ve, vn, vu in mm/yr, found) from the first covering grid."""
+    n = len(lam)
+    out = np.zeros((n, 3))
+    found = np.zeros(n, dtype=bool)
+    for g in grids:
+        vals, valid = g.interp(lam, phi)
+        take = valid & ~found
+        if np.any(take):
+            out[take] = vals[take]
+        found |= valid
+        if found.all():
+            break
+    return out[:, 0], out[:, 1], out[:, 2], found
+
+
 @register
 class Deformation(Operation):
     name = "deformation"
@@ -44,22 +104,27 @@ class Deformation(Operation):
         if not has_g and not (has_xy and has_z):
             raise ProjError("deformation: either +grids or (+xy_grids and "
                             "+z_grids) should be specified")
+        self.tiff_grids = None
+        self.hgrid = self.vgrid = None
         if has_g:
-            raise ProjError("unknown or unsupported grid format: "
-                            "GeoTIFF deformation models are out of scope")
-        xy_path = resolve_grid_path(params.s("xy_grids"))
-        z_path = resolve_grid_path(params.s("z_grids"))
-        # Format is detected by content, not filename: CTable2 carries a
-        # "CTABLE V2.0" magic in its 160-byte header (grids.cpp
-        # CTable2Grid::open); GTX has no magic, so any resolvable file is
-        # attempted (grids.cpp GTXVerticalShiftGrid::open).
-        if xy_path is None or not _is_ctable2(xy_path):
-            raise ProjError("deformation: could not find requested "
-                            "xy_grid(s)")
-        if z_path is None:
-            raise ProjError("deformation: could not find requested z_grid(s)")
-        self.hgrid = read_ctable2(xy_path)
-        self.vgrid = read_gtx(z_path)
+            # 3-channel GTG velocity model (east/north/up, mm/yr) —
+            # deformation.cpp pj_deformation_get_grid_values
+            self.tiff_grids = _load_velocity_grids(params.s("grids"))
+        else:
+            xy_path = resolve_grid_path(params.s("xy_grids"))
+            z_path = resolve_grid_path(params.s("z_grids"))
+            # Format is detected by content, not filename: CTable2
+            # carries a "CTABLE V2.0" magic in its 160-byte header
+            # (grids.cpp CTable2Grid::open); GTX has no magic, so any
+            # resolvable file is attempted.
+            if xy_path is None or not _is_ctable2(xy_path):
+                raise ProjError("deformation: could not find requested "
+                                "xy_grid(s)")
+            if z_path is None:
+                raise ProjError("deformation: could not find requested "
+                                "z_grid(s)")
+            self.hgrid = read_ctable2(xy_path)
+            self.vgrid = read_gtx(z_path)
         self.dt = params.f("dt") if params.has("dt") else None
         if params.has("t_obs"):
             raise ProjError("deformation: +t_obs is deprecated; use +dt")
@@ -84,12 +149,16 @@ class Deformation(Operation):
         c = Coords(x.copy(), y.copy(), z.copy())
         cart_inv_core(self, c)  # XYZ -> lam/phi/h on self.ell
         lam, phi = c.x, c.y
-        henu, ok_h = self.hgrid.interp(lam, phi)
-        vu, ok_v = self.vgrid.interp(lam, phi)
-        ok = ok_h & ok_v
-        ve = henu[:, 0] / 1000.0  # mm/yr -> m/yr
-        vn = henu[:, 1] / 1000.0
-        vup = vu[:, 0] / 1000.0
+        if self.tiff_grids is not None:
+            ve, vn, vup, ok = _sample_velocity(self.tiff_grids, lam, phi)
+            ve, vn, vup = ve / 1000.0, vn / 1000.0, vup / 1000.0
+        else:
+            henu, ok_h = self.hgrid.interp(lam, phi)
+            vu, ok_v = self.vgrid.interp(lam, phi)
+            ok = ok_h & ok_v
+            ve = henu[:, 0] / 1000.0  # mm/yr -> m/yr
+            vn = henu[:, 1] / 1000.0
+            vup = vu[:, 0] / 1000.0
         sp, cp = np.sin(phi), np.cos(phi)
         sl, cl = np.sin(lam), np.cos(lam)
         dx = -sp * cl * vn - sl * ve + cp * cl * vup

@@ -30,6 +30,7 @@ pass through unchanged for synthetic grids.
 from __future__ import annotations
 
 import os
+from typing import Optional
 
 import numpy as np
 
@@ -151,12 +152,13 @@ class ShiftGrid:
             out = 0.0
             any_valid = np.zeros(np.shape(fx), dtype=bool)
             for v, w in zip(corners, weights):
-                ok = ~(((v == self.nodata) | (np.abs(v) > 1e7))
-                       .any(axis=-1))
+                ok = ~((np.isnan(v) | (v == self.nodata)
+                        | (np.abs(v) > 1e7)).any(axis=-1))
                 any_valid |= ok
                 wv = np.where(ok, w, 0.0)
                 total_w = total_w + wv
-                out = out + v * wv[..., None]
+                # zero invalid values too: 0 * NaN would poison the sum
+                out = out + np.where(ok[..., None], v, 0.0) * wv[..., None]
             out = out / np.where(total_w == 0, 1.0, total_w)[..., None]
             valid = inside & any_valid
         out = np.where(valid[..., None], out, 0.0)
@@ -274,10 +276,22 @@ def load_grids(spec: str, vertical: bool = False):
             raise ProjError(f"unknown or unsupported grid format: {part!r} "
                             "(grid file not found)")
         strict = True
-        if path.endswith(".gtx"):
+        kind = sniff_grid_format(path)
+        if kind == "gtx":
             grids.append(read_gtx(path))
-        elif path.endswith(".gsb"):
+        elif kind == "ntv2":
             grids.extend(read_ntv2(path))
+        elif kind == "ctable2":
+            grids.append(read_ctable2_hgrid(path))
+        elif kind == "gtiff":
+            from proj_ray.ops.geotiff import TiffError
+
+            try:
+                grids.extend(read_geotiff_vgrids(path) if vertical
+                             else read_geotiff_hgrids(path))
+            except TiffError as exc:
+                raise ProjError("unknown or unsupported grid format: "
+                                f"{part!r} ({exc})") from exc
         else:
             raise ProjError(
                 f"unknown or unsupported grid format: {part!r}")
@@ -286,12 +300,14 @@ def load_grids(spec: str, vertical: bool = False):
     return grids, strict
 
 
-def validate_grid_spec(spec: str) -> bool:
-    """True if every part of the spec is loadable (used by
-    create_operation to gate nadgrids=/geoidgrids=)."""
+def validate_grid_spec_shallow(spec: str) -> bool:
+    """Existence + format sniff only (the pipeline-level gate); the
+    operation's own setup does the semantic validation so that e.g. a
+    vertical grid spec isn't judged by horizontal channel rules."""
     if spec.startswith("synth:"):
         return True
     for part in spec.split(","):
+        opt = part.strip().startswith("@")
         part = part.strip().lstrip("@")
         if not part or part == "null":
             continue
@@ -299,8 +315,47 @@ def validate_grid_spec(spec: str) -> bool:
             if not os.path.exists(part):
                 return False
             continue
-        if part.endswith((".gtx", ".gsb")):
-            if resolve_grid_path(part) is None:
+        path = resolve_grid_path(part)
+        if path is None:
+            if opt:
+                continue
+            return False
+        if sniff_grid_format(path) is None:
+            return False
+    return True
+
+
+def validate_grid_spec(spec: str, vertical: bool = False) -> bool:
+    """True if every part of the spec is loadable (used by
+    create_operation to gate nadgrids=/geoidgrids=); TIFF grids are
+    fully opened so channel/metadata errors surface at setup, as the
+    reference's non-deferred init does."""
+    if spec.startswith("synth:"):
+        return True
+    for part in spec.split(","):
+        opt = part.strip().startswith("@")
+        part = part.strip().lstrip("@")
+        if not part or part == "null":
+            continue
+        if part.endswith(".npz"):
+            if not os.path.exists(part):
+                return False
+            continue
+        path = resolve_grid_path(part)
+        if path is None:
+            if opt:
+                continue
+            return False
+        kind = sniff_grid_format(path)
+        if kind in ("gtx", "ntv2", "ctable2"):
+            continue
+        if kind == "gtiff":
+            try:
+                if vertical:
+                    read_geotiff_vgrids(path)
+                else:
+                    read_geotiff_hgrids(path)
+            except Exception:
                 return False
             continue
         return False
@@ -366,7 +421,7 @@ class _GridShiftBase(Operation):
                     # years since 1900; Python's is the full year)
                     self.t_final = now.tm_year + now.tm_yday / 365.0
         # fail fast on unresolvable specs (reference errors at init too)
-        if not validate_grid_spec(spec):
+        if not validate_grid_spec(spec, vertical=self.vertical):
             raise ProjError(f"unknown or unsupported grid format: {spec!r} "
                             "(grid file not found)")
 
@@ -374,10 +429,7 @@ class _GridShiftBase(Operation):
     def glist(self) -> _GridList:
         if self._glist is None:
             grids, strict = load_grids(self._spec, vertical=self.vertical)
-            if isinstance(self, GridShift):
-                k = max(g.values.shape[-1] for g in grids)
-            else:
-                k = 1 if self.vertical else 2
+            k = 1 if self.vertical else 2
             self._glist = _GridList(grids, k)
             self._strict = strict
         return self._glist
@@ -476,46 +528,222 @@ class VGridShift(_GridShiftBase):
         self._apply(c, -1)
 
 
-@register
-class GridShift(_GridShiftBase):
-    """Generic multi-channel grid shift (reference gridshift.cpp):
-    lam/lat/z shifts simultaneously from a multi-channel grid."""
+# The generic +proj=gridshift operation (TYPE-metadata-driven GTG
+# shifts, bilinear/biquadratic) lives in proj_ray/ops/gridshift_generic.py.
 
-    name = "gridshift"
 
-    def _fwd(self, c: Coords) -> None:
-        gl = self.glist
-        s, found = gl.sample(c.x, c.y)
-        k = s.shape[-1]
-        if k >= 2:
-            c.x = c.x + s[:, 0] * ARCSEC_TO_RAD
-            c.y = c.y + s[:, 1] * ARCSEC_TO_RAD
-        if k >= 3:
-            c.z = c.z - s[:, 2]
-        self._miss(c, found)
+def sniff_grid_format(path: str) -> Optional[str]:
+    """Detect a grid file's format by content magic (grids.cpp opens by
+    header, not extension): CTable2, NTv2, GeoTIFF; GTX (headerless) by
+    extension."""
+    try:
+        with open(path, "rb") as f:
+            head = f.read(16)
+    except OSError:
+        return None
+    if head[:11] == b"CTABLE V2.0":
+        return "ctable2"
+    if head[:8] == b"NUM_OREC":
+        return "ntv2"
+    if head[:2] in (b"II", b"MM") and len(head) >= 4 \
+            and head[2:4] in (b"*\x00", b"\x00*", b"+\x00", b"\x00+"):
+        return "gtiff"
+    if path.endswith((".gtx", ".GTX")):
+        return "gtx"
+    return None
 
-    def _inv(self, c: Coords) -> None:
-        gl = self.glist
-        lam_t, phi_t = c.x, c.y
-        lam_c = lam_t.copy()
-        phi_c = phi_t.copy()
-        found = np.ones(lam_t.shape, dtype=bool)
-        for _ in range(MAX_ITER):
-            s, found = gl.sample(lam_c, phi_c)
-            lam_n = lam_t - s[:, 0] * ARCSEC_TO_RAD
-            phi_n = phi_t - s[:, 1] * ARCSEC_TO_RAD
-            done = (np.abs(lam_n - lam_c) < TOL) \
-                & (np.abs(phi_n - phi_c) < TOL)
-            lam_c = lam_n
-            phi_c = phi_n
-            if np.all(done):
-                break
-        s, found = gl.sample(lam_c, phi_c)
-        c.x = lam_c
-        c.y = phi_c
-        if s.shape[-1] >= 3:
-            c.z = c.z + s[:, 2]
-        self._miss(c, found)
+
+def read_ctable2_hgrid(path: str) -> ShiftGrid:
+    """CTable2 as a horizontal shift grid: values are radians with the
+    west-longitude-positive convention (CTable2Grid::valueAt negates
+    when compensateNTConvention) — converted here to the east-positive
+    arc-second convention the hgridshift kernel uses."""
+    raw = read_ctable2(path)
+    vals = np.empty_like(raw.values)
+    vals[:, :, 0] = -raw.values[:, :, 0] / ARCSEC_TO_RAD
+    vals[:, :, 1] = raw.values[:, :, 1] / ARCSEC_TO_RAD
+    return ShiftGrid(raw.west, raw.south, raw.res_lon, raw.res_lat, vals)
+
+
+_HGRID_UNIT_TO_RAD = {"": ARCSEC_TO_RAD, "arc-second": ARCSEC_TO_RAD,
+                      "arc-seconds per year": ARCSEC_TO_RAD,
+                      "radian": 1.0, "degree": m.DEG_TO_RAD}
+
+
+def read_geotiff_hgrids(path: str):
+    """GTG horizontal grids -> ShiftGrids in east-positive arc-seconds
+    (channel roles/units/sign per grids.cpp GTiffHGridShiftSet::open:
+    defaults lat=0, lon=1, arc-second, positive east)."""
+    from proj_ray.ops.geotiff import read_geotiff
+
+    out = []
+    for g in read_geotiff(path):
+        if g.spp < 2:
+            if g.ifd_index > 0:
+                continue
+            raise ProjError("unknown or unsupported grid format: "
+                            "hgrid needs >= 2 samples")
+        idx_lat, idx_lon = 0, 1
+        found_any = found_lat = found_lon = False
+        for i in range(g.spp):
+            d = g.description(i)
+            if d:
+                found_any = True
+            if d == "latitude_offset":
+                idx_lat, found_lat = i, True
+            elif d == "longitude_offset":
+                idx_lon, found_lon = i, True
+        if found_any and not (found_lat or found_lon):
+            if g.ifd_index > 0:
+                continue
+            raise ProjError("unknown or unsupported grid format: no "
+                            "longitude_offset/latitude_offset channel")
+        positive_east = g.item("positive_value", idx_lon) != "west"
+        unit = g.unit(idx_lat)
+        if unit not in _HGRID_UNIT_TO_RAD:
+            raise ProjError(f"unknown or unsupported grid format: "
+                            f"unsupported unit {unit!r}")
+        conv = _HGRID_UNIT_TO_RAD[unit] / ARCSEC_TO_RAD
+        vals = np.empty((g.ny, g.nx, 2))
+        sign = 1.0 if positive_east else -1.0
+        vals[:, :, 0] = g.values[:, :, idx_lon] * conv * sign
+        vals[:, :, 1] = g.values[:, :, idx_lat] * conv
+        out.append(ShiftGrid(g.west, g.south, g.res_x, g.res_y, vals))
+    if not out:
+        raise ProjError("unknown or unsupported grid format: no usable "
+                        "horizontal grid IFD")
+    out.sort(key=lambda s: (s.res_lon * s.nx) * (s.res_lat * s.ny))
+    return out
+
+
+def read_geotiff_vgrids(path: str):
+    """GTG vertical grids -> ShiftGrids (metres, NaN nodata with
+    valid-corner renormalization like GTX); channel per grids.cpp
+    GTiffVGridShiftSet::open (default sample 0, else the channel whose
+    description names a vertical offset)."""
+    from proj_ray.ops.geotiff import read_geotiff
+
+    vert_descs = ("geoid_undulation", "vertical_offset", "hydroid_height",
+                  "ellipsoidal_height_offset")
+    out = []
+    for g in read_geotiff(path):
+        idx = 0
+        found_any = found_shift = False
+        for i in range(g.spp):
+            d = g.description(i)
+            if d:
+                found_any = True
+            if d in vert_descs:
+                idx, found_shift = i, True
+        if found_any and not found_shift:
+            if g.ifd_index > 0:
+                continue
+            raise ProjError("unknown or unsupported grid format: no "
+                            "vertical offset channel")
+        unit = g.unit(idx)
+        if unit not in ("", "metre"):
+            raise ProjError(f"unknown or unsupported grid format: "
+                            f"unsupported unit {unit!r}")
+        vals = g.values[:, :, idx:idx + 1]
+        out.append(ShiftGrid(g.west, g.south, g.res_x, g.res_y, vals,
+                             nodata=np.nan))
+    if not out:
+        raise ProjError("unknown or unsupported grid format: no usable "
+                        "vertical grid IFD")
+    out.sort(key=lambda s: (s.res_lon * s.nx) * (s.res_lat * s.ny))
+    return out
+
+
+def load_generic_gridsets(spec: str):
+    """Gridsets for the generic gridshift op: one list per comma entry;
+    each entry is GTiffGrid objects (file order) or [None] for 'null'."""
+    from proj_ray.ops.geotiff import TiffError, read_geotiff
+
+    sets = []
+    for part in spec.split(","):
+        part = part.strip()
+        optional = part.startswith("@")
+        if optional:
+            part = part[1:]
+        if not part:
+            continue
+        if part == "null":
+            sets.append([None])
+            continue
+        path = resolve_grid_path(part)
+        if path is None:
+            if optional:
+                continue
+            raise ProjError("gridshift: could not find required grid(s): "
+                            f"{part!r} (grid file not found)")
+        if sniff_grid_format(path) != "gtiff":
+            raise ProjError(f"unknown or unsupported grid format: {part!r}")
+        try:
+            grids = read_geotiff(path)
+        except TiffError as exc:
+            raise ProjError(f"unknown or unsupported grid format: {part!r} "
+                            f"({exc})") from exc
+        # subgrid IFDs may omit TYPE: inherit from the first typed grid
+        # (GTiffGenericGrid::setFirstGrid, grids.cpp:3034-3037)
+        first_typed = next((g for g in grids if g.item("TYPE")), None)
+        for g in grids:
+            if not g.item("TYPE") and first_typed is not None:
+                g.inherited_type = first_typed.item("TYPE")
+        sets.append(_build_hierarchy(grids))
+    if not sets:
+        raise ProjError(f"gridshift: no usable grid in {spec!r}")
+    return sets
+
+
+def _extent_contains(a, b, eps: float = 1e-11) -> bool:
+    return (a.west <= b.west + eps and a.east >= b.east - eps
+            and a.south <= b.south + eps and a.north >= b.north - eps)
+
+
+def _insert_grid(parent, g) -> None:
+    """GridType::insertGrid — descend into the first child whose extent
+    contains the new grid, else attach directly."""
+    for c in parent.children:
+        if _extent_contains(c, g):
+            _insert_grid(c, g)
+            return
+    parent.children.append(g)
+
+
+def _build_hierarchy(grids):
+    """insertIntoHierarchy (grids.cpp:1360-1430): named parents first,
+    named orphans become top-level, anonymous grids nest by extent
+    containment.  Returns the top-level list (file order); each grid
+    gains a .children list."""
+    tops = []
+    by_name = {}
+    for g in grids:
+        g.children = []
+        gname = g.item("grid_name")
+        pname = g.item("parent_grid_name")
+        placed = False
+        if pname:
+            p = by_name.get(pname)
+            if p is not None and _extent_contains(p, g):
+                p.children.append(g)
+                placed = True
+        elif gname:
+            tops.append(g)
+            placed = True
+        if not placed:
+            t = g.item("TYPE")
+            for cand in tops:
+                if t and cand.item("TYPE") != t:
+                    continue
+                if _extent_contains(cand, g):
+                    _insert_grid(cand, g)
+                    placed = True
+                    break
+            if not placed:
+                tops.append(g)
+        if gname:
+            by_name[gname] = g
+    return tops
 
 
 def read_ctable2(path: str) -> ShiftGrid:

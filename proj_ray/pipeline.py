@@ -182,10 +182,10 @@ def create_operation(defn: str) -> Pipeline:
         raise ProjError("unknown or unsupported: datum/grid catalog lookups")
     for t in kvs:
         if t.startswith(("nadgrids=", "geoidgrids=", "grids=")):
-            from proj_ray.ops.gridshift import validate_grid_spec
+            from proj_ray.ops.gridshift import validate_grid_spec_shallow
 
             spec = t.split("=", 1)[1]
-            if not validate_grid_spec(spec):
+            if not validate_grid_spec_shallow(spec):
                 raise ProjError(
                     "unknown or unsupported: datum/grid catalog lookups")
     # split into global / step token groups

@@ -40,6 +40,8 @@ FILES = [
     "gie/peirce_q.gie",
     "gie/tinshift.gie",
     "gie/deformation.gie",
+    "gie/geotiff_grids.gie",
+    "gie/gridshift.gie",
     "gigs/5101.1-jhs.gie",
     "gigs/5101.2-jhs.gie",
     "gigs/5101.3-jhs.gie",
