@@ -54,4 +54,6 @@ from proj_ray.ops import (  # noqa: F401,E402
     tinshift,
     deformation,
     gridshift_generic,
+    sch,
+    defmodel,
 )

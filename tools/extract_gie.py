@@ -42,6 +42,7 @@ FILES = [
     "gie/deformation.gie",
     "gie/geotiff_grids.gie",
     "gie/gridshift.gie",
+    "gie/defmodel.gie",
     "gigs/5101.1-jhs.gie",
     "gigs/5101.2-jhs.gie",
     "gigs/5101.3-jhs.gie",
