@@ -421,6 +421,125 @@ def _sql_cart_helmert() -> str:
                 round({gz}, 4) AS gz FROM coords""")
 
 
+# ------------------------ grid-shift family --------------------------------
+
+_SYNTH_SEED = 17
+_SYNTH_NX, _SYNTH_NY = 360, 181  # full-world 1-degree grid
+
+
+def _synth_phases(seed: int):
+    return ((seed % 97) / 97.0 * 2 * np.pi, (seed % 89) / 89.0 * 2 * np.pi)
+
+
+def q_hgridshift_synth(sf_dir: str):
+    """hgridshift over the deterministic full-world synthetic grid
+    (FIXTURES.md F5) — exercises the grid-shift kernel end-to-end with a
+    pure-SQL bilinear oracle."""
+    spec = f"synth:{_SYNTH_SEED},-180,-90,1,{_SYNTH_NX},{_SYNTH_NY}"
+    p = create_operation(f"+proj=hgridshift +grids={spec}")
+
+    def run(batch: pa.Table) -> pa.Table:
+        c = transform_arrays(
+            p, batch.column("lon").to_numpy(zero_copy_only=False),
+            batch.column("lat").to_numpy(zero_copy_only=False))
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "offset": batch.column("offset"),
+            "lon_s": pa.array(np.round(c.x, 7)),
+            "lat_s": pa.array(np.round(c.y, 7)),
+        })
+
+    return coords_dataset(sf_dir).map_batches(run, batch_format="pyarrow")
+
+
+def _sql_synth_bilinear() -> str:
+    """CTE computing the synthetic displacement field's bilinear value
+    at each coord (grid cell indices + the closed-form a/b fields)."""
+    ph1, ph2 = _synth_phases(_SYNTH_SEED)
+    nx, ny = _SYNTH_NX, _SYNTH_NY
+    pi2 = 2 * np.pi
+    a_of = (lambda i, j:
+            f"(2.0 * sin({pi2!r} * ({i}) / {nx} + {ph1!r})"
+            f" * cos({pi2!r} * ({j}) / {ny} + {ph2!r}))")
+    b_of = (lambda i, j:
+            f"(2.0 * cos({pi2!r} * ({i}) / ({nx} * 0.5 + 1) + {ph2!r})"
+            f" * sin({pi2!r} * ({j}) / ({ny} * 0.7 + 1) + {ph1!r}))")
+    cell = f"""
+cellpos AS (
+    SELECT doc_id, off, lon, lat,
+           (lon - (-180.0)) / 1.0 - floor((lon - (-180.0)) / {nx}.0)
+               * {nx} AS fx0,
+           (lat - (-90.0)) / 1.0 AS fy
+    FROM coords
+),
+cellidx AS (
+    SELECT doc_id, off, lon, lat, fx0, fy,
+           CAST(floor(fx0) AS BIGINT) % {nx} AS ix,
+           (CAST(floor(fx0) AS BIGINT) % {nx} + 1) % {nx} AS ix2,
+           LEAST(GREATEST(CAST(floor(LEAST(GREATEST(fy, 0), {ny - 1}))
+                               AS BIGINT), 0), {ny - 2}) AS iy
+    FROM cellpos
+),
+cellw AS (
+    SELECT doc_id, off, lon, lat, ix, ix2, iy,
+           fx0 - floor(fx0) AS tx,
+           LEAST(GREATEST(fy, 0), {ny - 1}) - LEAST(GREATEST(
+               CAST(floor(LEAST(GREATEST(fy, 0), {ny - 1})) AS BIGINT),
+               0), {ny - 2}) AS ty
+    FROM cellidx
+),
+bilin AS (
+    SELECT doc_id, off, lon, lat,
+           ({a_of('ix', 'iy')} * (1 - tx) * (1 - ty)
+            + {a_of('ix2', 'iy')} * tx * (1 - ty)
+            + {a_of('ix', 'iy + 1')} * (1 - tx) * ty
+            + {a_of('ix2', 'iy + 1')} * tx * ty) AS sa,
+           ({b_of('ix', 'iy')} * (1 - tx) * (1 - ty)
+            + {b_of('ix2', 'iy')} * tx * (1 - ty)
+            + {b_of('ix', 'iy + 1')} * (1 - tx) * ty
+            + {b_of('ix2', 'iy + 1')} * tx * ty) AS sb
+    FROM cellw
+)"""
+    return cell
+
+
+def _sql_hgridshift() -> str:
+    return ("WITH " + sql_coords_cte() + "," + _sql_synth_bilinear()
+            + """
+ SELECT doc_id, off AS offset,
+        round(degrees(radians(lon) + sa * radians(1.0/3600.0)), 7) AS lon_s,
+        round(degrees(radians(lat) + sb * radians(1.0/3600.0)), 7) AS lat_s
+ FROM bilin""")
+
+
+def q_vgridshift_synth(sf_dir: str):
+    """vgridshift (vertical datum shift) over the synthetic grid with a
+    SQL bilinear oracle; +multiplier=1 adds the undulation."""
+    spec = f"synth:{_SYNTH_SEED},-180,-90,1,{_SYNTH_NX},{_SYNTH_NY}"
+    p = create_operation(f"+proj=vgridshift +grids={spec} +multiplier=1")
+
+    def run(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        c = transform_arrays(
+            p, batch.column("lon").to_numpy(zero_copy_only=False),
+            batch.column("lat").to_numpy(zero_copy_only=False),
+            np.zeros(n))
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "offset": batch.column("offset"),
+            "dz": pa.array(np.round(c.z, 7)),
+        })
+
+    return coords_dataset(sf_dir).map_batches(run, batch_format="pyarrow")
+
+
+def _sql_vgridshift() -> str:
+    # the vertical synth grid stores field `a` in its single channel
+    return ("WITH " + sql_coords_cte() + "," + _sql_synth_bilinear()
+            + """
+ SELECT doc_id, off AS offset, round(sa, 7) AS dz FROM bilin""")
+
+
 def q_geodesic_pairs(sf_dir: str):
     """Karney inverse geodesic between each doc's consecutive coord
     spans — exercises the vectorized geodesic in a data pipeline.
@@ -749,6 +868,8 @@ def build_queries():
         "rect_join": q_rect_join,
         "knn_haversine": q_knn_haversine,
         "cart_helmert": q_cart_helmert,
+        "hgridshift_synth": q_hgridshift_synth,
+        "vgridshift_synth": q_vgridshift_synth,
         "geodesic_pairs": q_geodesic_pairs,
         "text_stats": q_text_stats,
         "exact_dedup": q_exact_dedup,
@@ -780,6 +901,8 @@ def build_oracles():
         "rect_join": SQL_RECT_JOIN,
         "knn_haversine": SQL_KNN,
         "cart_helmert": _sql_cart_helmert(),
+        "hgridshift_synth": _sql_hgridshift(),
+        "vgridshift_synth": _sql_vgridshift(),
         "text_stats": SQL_TEXT_STATS,
         "exact_dedup": SQL_EXACT_DEDUP,
         "ann_topk": SQL_ANN_TOPK,

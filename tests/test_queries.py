@@ -41,6 +41,7 @@ def _to_pandas(res):
 @pytest.mark.parametrize("name", [
     "span_coords", "webmerc_project", "cell_assign", "tile_assign",
     "rect_join", "knn_haversine", "cart_helmert", "text_stats",
+    "hgridshift_synth", "vgridshift_synth",
     "exact_dedup", "events_window", "lineitem_agg",
 ])
 def test_query_matches_oracle(ray_session, con, name):
