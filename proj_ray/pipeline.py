@@ -289,7 +289,7 @@ def transform(
     """
     import pyarrow as pa
 
-    pipeline = create_operation(defn)
+    pipeline = create_operation(defn) if isinstance(defn, str) else defn
     out_cols = tuple(out_cols or in_cols)
     in_cols = tuple(in_cols)
 
