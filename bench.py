@@ -45,6 +45,12 @@ QUERY_NAMES = [
     "ann_topk",
     "events_window",
     "lineitem_agg",
+    "hgridshift_synth",
+    "minhash_pairs",
+    "simhash_pairs",
+    "ann_ivf",
+    "embedding_near_dup",
+    "lang_quality",
 ]
 
 
@@ -94,7 +100,7 @@ def run_bench() -> dict:
 
     queries = build_queries()
     qtimes = {}
-    for name in QUERY_NAMES:
+    for name in ([] if os.environ.get("GRAFT_SKIP_QUERIES") else QUERY_NAMES):
         t0 = time.perf_counter()
         n = consume(queries[name](SF_DIR))
         qtimes[name] = round(time.perf_counter() - t0, 3)
@@ -117,7 +123,13 @@ def run_bench() -> dict:
 def run_scaling() -> dict:
     out = {}
     for ncpu in (8, 32):
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        # steady-state sizing: the input must be large enough that the
+        # fixed session/planning overhead (~1.5 s) is noise next to the
+        # compute, as it would be on a real N- vs 4N-node cluster job
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   GRAFT_BENCH_DOCS=os.environ.get(
+                       "GRAFT_SCALING_DOCS", "24000000"),
+                   GRAFT_SKIP_QUERIES="1")
         env.pop("RAY_ADDRESS", None)
         proc = subprocess.run([sys.executable, os.path.abspath(__file__)],
                               env=env, capture_output=True, text=True,

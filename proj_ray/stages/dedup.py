@@ -32,7 +32,9 @@ import pyarrow as pa
 
 _MERSENNE = np.uint64((1 << 61) - 1)
 _N_PERM = 64
-_N_BANDS = 16  # 4 rows per band
+_N_BANDS = 8  # 8 rows per band: S-curve threshold ~(1/8)^(1/8)=0.77,
+# near-certain candidacy for true near-dups (j>0.9) while j~0.45
+# template noise drops from 34% to ~3% candidate probability
 _MIX = np.uint64(0x9E3779B97F4A7C15)
 
 
@@ -213,17 +215,61 @@ def minhash_lsh_pairs(docs_ds, jaccard_threshold: float = 0.8):
     joins keyed by doc_id) and computing the exact Jaccard vectorized.
     The driver never holds document text; all stages stream."""
     bands = docs_ds.map_batches(minhash_bands_batch, batch_format="pyarrow")
+    # Shuffling into (band_id, band_hash) groups directly would create
+    # one tiny pandas group per LSH bucket (tens of thousands) — the
+    # per-group overhead dwarfs the work.  Instead hash buckets into a
+    # few dozen coarse partitions and emit pairs VECTORIZED per
+    # partition: sort by (band, hash), find equal-key runs, expand
+    # pairs only for runs with >= 2 docs (rare: true candidates).
+    num_parts = 32
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.unique(g["doc_id"].to_numpy())
-        if len(ids) < 2:
-            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
-                                 "doc_b": pd.Series([], dtype="int64")})
-        i, j = np.triu_indices(len(ids), 1)
-        return pd.DataFrame({"doc_a": ids[i], "doc_b": ids[j]})
+    def add_bucket(t: pa.Table) -> pa.Table:
+        h = t.column("band_hash").to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        b = t.column("band_id").to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        part = ((h ^ (b * _MIX)) % np.uint64(num_parts)).astype(np.int64)
+        return t.append_column("__part", pa.array(part))
 
-    pairs = (bands.groupby(["band_id", "band_hash"])
-             .map_groups(bucket_pairs, batch_format="pandas"))
+    def part_pairs(t: pa.Table) -> pa.Table:
+        band = t.column("band_id").to_numpy(zero_copy_only=False)
+        h = t.column("band_hash").to_numpy(zero_copy_only=False)
+        doc = t.column("doc_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((doc, h, band))
+        band, h, doc = band[order], h[order], doc[order]
+        n = len(doc)
+        empty = pa.table({"doc_a": pa.array([], type=pa.int64()),
+                          "doc_b": pa.array([], type=pa.int64())})
+        if n < 2:
+            return empty
+        new_run = np.empty(n, dtype=bool)
+        new_run[0] = True
+        new_run[1:] = (band[1:] != band[:-1]) | (h[1:] != h[:-1])
+        run_id = np.cumsum(new_run) - 1
+        starts = np.flatnonzero(new_run)
+        lens = np.diff(np.append(starts, n))
+        out_a = []
+        out_b = []
+        for ri in np.flatnonzero(lens >= 2):  # only true candidate runs
+            ids = np.unique(doc[starts[ri]:starts[ri] + lens[ri]])
+            if len(ids) < 2:
+                continue
+            i, j = np.triu_indices(len(ids), 1)
+            out_a.append(ids[i])
+            out_b.append(ids[j])
+        if not out_a:
+            return empty
+        a = np.concatenate(out_a)
+        b = np.concatenate(out_b)
+        # drop duplicate pairs within this partition before the shuffle
+        key = np.stack([a, b], axis=1)
+        uniq = np.unique(key, axis=0)
+        return pa.table({"doc_a": pa.array(uniq[:, 0]),
+                         "doc_b": pa.array(uniq[:, 1])})
+
+    pairs = (bands.map_batches(add_bucket, batch_format="pyarrow")
+             .groupby("__part")
+             .map_groups(part_pairs, batch_format="pyarrow"))
     # a pair found in several bands must verify once: distinct via a
     # small grouped aggregate (count is discarded)
     from proj_ray.stages.agg import hash_shuffle_aggregate
@@ -233,9 +279,14 @@ def minhash_lsh_pairs(docs_ds, jaccard_threshold: float = 0.8):
         batch_format="pyarrow")
     pairs = hash_shuffle_aggregate(pairs, ["doc_a", "doc_b"],
                                    [("one", "min")], num_buckets=16)
-    pairs = pairs.drop_columns(["one"])
+    # candidate stream is tiny; pin it so both joins read the same blocks
+    pairs = pairs.drop_columns(["one"]).materialize()
 
-    sigs = docs_ds.map_batches(shingle_sets_batch, batch_format="pyarrow")
+    # one corpus pass for the shingle sets, pinned in the object store:
+    # without this, each hash join re-executes the whole upstream while
+    # its aggregator actors hold CPU slots — a 10x wall-time hit
+    sigs = docs_ds.map_batches(shingle_sets_batch,
+                               batch_format="pyarrow").materialize()
     # the hash join drops the right key column itself; its aggregator
     # actors must fit the cluster or the pipeline stalls, so partitions
     # scale with available CPUs
