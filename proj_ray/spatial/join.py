@@ -159,12 +159,10 @@ def shuffle_pip_join(coords_ds, polygons: Dict, res_deg: float = 5.0,
         bucket = np.zeros(len(cell), dtype=np.int64)
         if salt:
             # salt hot cells by a STABLE doc hash -> sub-bucket
-            import zlib
+            # (vectorized crc over the Arrow buffer, no per-row Python)
+            from proj_ray.stages.agg import crc_bucket
 
-            h = np.array(
-                [zlib.crc32(str(x).encode()) for x in
-                 batch.column("doc_id").to_pylist()],
-                dtype=np.int64)
+            h = crc_bucket(batch.column("doc_id"), 1 << 31)
             for c, s in salt.items():
                 mask = cell == c
                 bucket = np.where(mask, h % s, bucket)
