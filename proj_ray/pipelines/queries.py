@@ -766,6 +766,63 @@ def q_pip_polygons_shuffle(sf_dir: str):
     return shuffle_pip_join(ds, make_polygons(64), salt=salt)
 
 
+def _sql_pip_polygons() -> str:
+    """Crossing-number PIP in SQL over the deterministic convex
+    polygons (spatial/pip.py make_polygons, FIXTURES.md F4): rebuild
+    the LCG vertex streams, form the edge ring, count strict crossings
+    per (point, polygon), keep odd parity."""
+    M31 = 2147483647
+    return ("WITH " + sql_coords_cte() + f""",
+ps AS (
+    SELECT p,
+           (48271 * ((1235 + 17 * p) % {M31})) % {M31} AS s1
+    FROM (SELECT UNNEST(range(0, 64)) AS p)
+),
+ps2 AS (SELECT p, s1, (48271 * s1) % {M31} AS s2 FROM ps),
+ps3 AS (SELECT *, (48271 * s2) % {M31} AS s3 FROM ps2),
+ps4 AS (SELECT *, (48271 * s3) % {M31} AS s4 FROM ps3),
+ps5 AS (SELECT *, (48271 * s4) % {M31} AS s5 FROM ps4),
+ps6 AS (SELECT *, (48271 * s5) % {M31} AS s6 FROM ps5),
+ps7 AS (SELECT *, (48271 * s6) % {M31} AS s7 FROM ps6),
+poly AS (
+    SELECT p,
+           5 + CAST(s1 % 8 AS BIGINT) AS nv,
+           (s2 % 3400000) / 10000.0 - 170.0 AS clon,
+           (s3 % 1500000) / 10000.0 - 75.0 AS clat,
+           CASE WHEN (s4 % 10) = 0
+                THEN 20.0 + (s5 % 200000) / 10000.0
+                ELSE 0.05 + (s5 % 49500) / 10000.0 END AS radius,
+           (s6 % 62832) / 10000.0 AS phase,
+           (s7 % 1000) / 1000.0 AS rrf
+    FROM ps7
+),
+verts AS (
+    SELECT p, nv, k,
+           clon + (radius * (0.6 + 0.4 * rrf))
+               * cos(phase + k * (2 * pi() / nv)) AS vx,
+           LEAST(GREATEST(clat + (radius * (0.6 + 0.4 * rrf)) * 0.7
+               * sin(phase + k * (2 * pi() / nv)), -89.9), 89.9) AS vy
+    FROM poly, LATERAL (SELECT UNNEST(range(0, nv)) AS k)
+),
+edges AS (
+    SELECT a.p, a.vx AS xi, a.vy AS yi, b.vx AS xj, b.vy AS yj
+    FROM verts a JOIN verts b
+      ON a.p = b.p AND b.k = (a.k + 1) % a.nv
+),
+hits AS (
+    SELECT c.doc_id, c.off, e.p,
+           SUM(CASE WHEN ((e.yi > c.lat) != (e.yj > c.lat))
+                     AND (c.lon < (e.xj - e.xi) * (c.lat - e.yi)
+                                  / (e.yj - e.yi) + e.xi)
+               THEN 1 ELSE 0 END) AS crossings
+    FROM coords c CROSS JOIN edges e
+    GROUP BY c.doc_id, c.off, e.p
+)
+SELECT doc_id, off AS offset,
+       printf('poly-%06d', p) AS polygon_id
+FROM hits WHERE crossings % 2 = 1""")
+
+
 def q_knn_geodesic(sf_dir: str):
     """Exact kNN via cell-ring + Karney refine (rows-only; equality with
     brute force asserted in tests)."""
@@ -903,6 +960,8 @@ def build_oracles():
         "cart_helmert": _sql_cart_helmert(),
         "hgridshift_synth": _sql_hgridshift(),
         "vgridshift_synth": _sql_vgridshift(),
+        "pip_polygons": _sql_pip_polygons(),
+        "pip_polygons_shuffle": _sql_pip_polygons(),
         "text_stats": SQL_TEXT_STATS,
         "exact_dedup": SQL_EXACT_DEDUP,
         "ann_topk": SQL_ANN_TOPK,
