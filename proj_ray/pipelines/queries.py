@@ -199,8 +199,8 @@ def _sql_lcc() -> str:
 
 
 def q_utm_zone32(sf_dir: str):
-    """UTM (Poder/Engsager exact series) — no SQL closed form; verified
-    by the gie corpus instead; driver records rows-only."""
+    """UTM (Poder/Engsager exact series); oracle-paired via
+    _sql_utm_zone32 (unrolled Clenshaw chains in SQL)."""
     p = create_operation("+proj=utm +zone=32 +ellps=WGS84")
 
     def project(batch: pa.Table) -> pa.Table:
@@ -218,6 +218,104 @@ def q_utm_zone32(sf_dir: str):
 
     return coords_dataset(sf_dir).map_batches(project,
                                               batch_format="pyarrow")
+
+
+def _sql_utm_zone32() -> str:
+    """Exact Poder/Engsager transverse Mercator in SQL: the engine's
+    own series constants (ops/tmerc.py _ExactState) with the Gauss and
+    complex Clenshaw recurrences unrolled as chained CTE columns —
+    operation order mirrors the NumPy kernel so both sides agree at
+    3-decimal (mm) rounding."""
+    from proj_ray.ops.base import REGISTRY, Params
+
+    op = REGISTRY["utm"](Params.parse("proj=utm zone=32 ellps=WGS84"))
+    st = op.exact
+    cbg = st.cbg
+    gtu = st.gtu
+    qn, zb, a = st.Qn, st.Zb, op.a
+    lam0 = np.degrees(op.lam0)
+
+    # adjlon(lam - lam0) in degrees
+    dlon = f"(lon - ({lam0!r}))"
+    wrapped = (f"(CASE WHEN {dlon} > 180.0 THEN {dlon} - 360.0 "
+               f"WHEN {dlon} < -180.0 THEN {dlon} + 360.0 ELSE {dlon} END)")
+
+    # gatg Clenshaw over cbg: h recurrence, then Cn0 = phi + h sin(2 phi)
+    g_steps = []
+    h1, h2 = f"({cbg[5]!r})", "0.0"
+    for c in cbg[4::-1]:
+        h = f"(-{h2} + tc * {h1} + ({c!r}))"
+        h2, h1 = h1, h
+    gatg = f"(phi + {h1} * sin(2 * phi))"
+
+    # clenS over gtu: complex recurrence in (hr, hi)
+    hr1, hi1 = "0.0", "0.0"
+    hr, hi = f"({gtu[5]!r})", "0.0"
+    for c in gtu[4::-1]:
+        hr2, hi2 = hr1, hi1
+        hr1, hi1 = hr, hi
+        hr = f"(-{hr2} + rr * {hr1} - ii * {hi1} + ({c!r}))"
+        hi = f"(-{hi2} + ii * {hr1} + rr * {hi1})"
+
+    return ("WITH " + sql_coords_cte() + f""",
+c0 AS (
+    SELECT doc_id, off, radians({wrapped}) AS lam, radians(lat) AS phi
+    FROM coords
+),
+c1 AS (
+    SELECT *, 2 * cos(2 * phi) AS tc FROM c0
+),
+c2 AS (
+    SELECT doc_id, off, lam, {gatg} AS cn0 FROM c1
+),
+c3 AS (
+    SELECT *, sin(cn0) AS s_cn, cos(cn0) * cos(lam) AS ccc,
+           sin(lam) AS s_ce, cos(cn0) AS c_cn
+    FROM c2
+),
+c4 AS (
+    SELECT *, atan2(s_cn, ccc) AS cn1,
+           1.0 / sqrt(s_cn * s_cn + ccc * ccc) AS invd
+    FROM c3
+),
+c5 AS (
+    SELECT *, s_ce * c_cn * invd AS tan_ce, 2 * invd AS two_inv,
+           2 * invd * invd AS two_inv_sq
+    FROM c4
+),
+c6 AS (
+    SELECT *, ln(tan_ce + sqrt(tan_ce * tan_ce + 1.0)) AS ce1,
+           ccc * two_inv_sq AS tmp_r
+    FROM c5
+),
+c7 AS (
+    SELECT *, s_cn * tmp_r AS sar, ccc * tmp_r - 1 AS car,
+           tan_ce * two_inv AS shi, two_inv_sq - 1 AS chi
+    FROM c6
+),
+c8 AS (
+    SELECT *, 2 * car * chi AS rr, -2 * sar * shi AS ii FROM c7
+),
+c9 AS (
+    SELECT doc_id, off, cn1, ce1, sar, car, shi, chi,
+           {hr} AS hr_f, {hi} AS hi_f
+    FROM c8
+),
+c10 AS (
+    SELECT doc_id, off,
+           cn1 + (sar * chi * hr_f - car * shi * hi_f) AS cn,
+           ce1 + (sar * chi * hi_f + car * shi * hr_f) AS ce
+    FROM c9
+)
+SELECT doc_id, off AS offset,
+       CASE WHEN abs(ce) <= 2.623395162778
+            THEN round({a!r} * ({qn!r} * ce) + {op.x0!r}, 3)
+            ELSE 'NaN'::DOUBLE END AS x,
+       CASE WHEN abs(ce) <= 2.623395162778
+            THEN round({a!r} * ({qn!r} * cn + ({zb!r})) + {op.y0!r}, 3)
+            ELSE 'NaN'::DOUBLE END AS y,
+       abs(ce) <= 2.623395162778 AS ok
+FROM c10""")
 
 
 def q_cell_assign(sf_dir: str):
@@ -962,6 +1060,7 @@ def build_oracles():
         "vgridshift_synth": _sql_vgridshift(),
         "pip_polygons": _sql_pip_polygons(),
         "pip_polygons_shuffle": _sql_pip_polygons(),
+        "utm_project": _sql_utm_zone32(),
         "text_stats": SQL_TEXT_STATS,
         "exact_dedup": SQL_EXACT_DEDUP,
         "ann_topk": SQL_ANN_TOPK,

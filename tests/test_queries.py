@@ -41,7 +41,7 @@ def _to_pandas(res):
 @pytest.mark.parametrize("name", [
     "span_coords", "webmerc_project", "cell_assign", "tile_assign",
     "rect_join", "knn_haversine", "cart_helmert", "text_stats",
-    "hgridshift_synth", "vgridshift_synth", "pip_polygons",
+    "hgridshift_synth", "vgridshift_synth", "pip_polygons", "utm_project",
     "exact_dedup", "events_window", "lineitem_agg",
 ])
 def test_query_matches_oracle(ray_session, con, name):
@@ -65,7 +65,7 @@ def test_rows_only_queries_run(ray_session):
     from proj_ray.pipelines.queries import build_queries
 
     q = build_queries()
-    for name in ("utm_project", "geodesic_pairs",
+    for name in ("geodesic_pairs",
                  "minhash_pairs", "simhash_pairs", "media_features",
                  "lang_quality", "ann_ivf"):
         res = _to_pandas(q[name](SF))
