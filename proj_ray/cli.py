@@ -62,9 +62,32 @@ def _run(defn: str, cols, inverse: bool, cct: bool):
                             direction="inverse" if inverse else "forward")
 
 
+def _cs2cs_defn(tokens: List[str]) -> str:
+    """cs2cs-style CRS pair -> one pipeline definition.
+
+    Accepts `+proj=... +to +proj=...` (the reference's syntax) or two
+    `EPSG:NNNN` codes resolved through the engine's init shim
+    (epsg_init.py)."""
+    def expand(t: str) -> str:
+        if t.upper().startswith("EPSG:"):
+            return f"+init=epsg:{t.split(':', 1)[1]}"
+        return t
+
+    if "+to" in tokens:
+        i = tokens.index("+to")
+        src = " ".join(expand(t) for t in tokens[:i])
+        dst = " ".join(expand(t) for t in tokens[i + 1:])
+    elif len(tokens) == 2:
+        src, dst = expand(tokens[0]), expand(tokens[1])
+    else:
+        raise SystemExit("cs2cs needs '+proj=... +to +proj=...' or two "
+                         "EPSG:NNNN codes")
+    return f"+proj=pipeline +step +inv {src} +step {dst}"
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="proj_ray.cli")
-    ap.add_argument("mode", choices=["proj", "cct"])
+    ap.add_argument("mode", choices=["proj", "cct", "cs2cs"])
     ap.add_argument("-I", "--inverse", action="store_true")
     ap.add_argument("-d", "--decimals", type=int, default=None,
                     help="output decimals (proj default 2, cct default 4)")
@@ -76,9 +99,14 @@ def main(argv=None) -> int:
 
     tokens = list(args.defn)
     infile = None
-    if tokens and not tokens[-1].startswith(("+", "proj=", "step", "inv")):
+    if tokens and not tokens[-1].startswith(("+", "proj=", "step", "inv")) \
+            and not tokens[-1].upper().startswith("EPSG:"):
         infile = tokens.pop()
-    defn = " ".join(tokens)
+    if args.mode == "cs2cs":
+        defn = _cs2cs_defn(tokens)
+        args.mode = "cct"  # cs2cs I/O is 3D/4D like cct
+    else:
+        defn = " ".join(tokens)
     dec = args.decimals if args.decimals is not None \
         else (4 if args.mode == "cct" else 2)
     cct = args.mode == "cct"

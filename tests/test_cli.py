@@ -37,3 +37,17 @@ def test_proj_roundtrip():
               f"{x} {y}\n")
     lon, lat = map(float, r2.stdout.split())
     assert abs(lon - 12.5) < 1e-6 and abs(lat - 55.5) < 1e-6
+
+
+def test_cs2cs_epsg_pair():
+    r = _run(["cs2cs", "EPSG:4326", "EPSG:25832"], "9 45 0\n")
+    x, y = map(float, r.stdout.split()[:2])
+    assert abs(x - 500000.0) < 0.01
+    assert abs(y - 4982950.4) < 0.01
+
+
+def test_cs2cs_plus_to_syntax():
+    r = _run(["cs2cs", "+proj=longlat", "+datum=WGS84", "+to",
+              "+proj=utm", "+zone=32", "+ellps=WGS84"], "9 45 0\n")
+    x = float(r.stdout.split()[0])
+    assert abs(x - 500000.0) < 0.01
