@@ -401,20 +401,62 @@ def simhash_near_pairs(docs_ds, max_hamming: int = 3):
                          "doc_id": pa.array(np.tile(doc, 4)),
                          "sh": pa.array(np.tile(h, 4))})
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = g["doc_id"].to_numpy()
-        hh = g["sh"].to_numpy().astype(np.uint64)
-        order = np.argsort(ids)
-        ids, hh = ids[order], hh[order]
-        i, j = np.triu_indices(len(ids), 1)
-        ham = popcount64(hh[i] ^ hh[j])
-        m = ham <= max_hamming
-        return pd.DataFrame({"doc_a": ids[i][m], "doc_b": ids[j][m],
-                             "hamming": ham[m]})
+    # (chunk, key) buckets number in the tens of thousands; shuffle into
+    # a few coarse partitions and expand pairs vectorized per equal-key
+    # run (same shape as the MinHash path — per-group pandas overhead
+    # would dominate otherwise)
+    num_parts = 32
+
+    def add_part(t: pa.Table) -> pa.Table:
+        k = t.column("key").to_numpy(zero_copy_only=False).astype(np.uint64)
+        c = t.column("chunk").to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        part = (((k + np.uint64(1)) * _MIX + c) % np.uint64(num_parts)) \
+            .astype(np.int64)
+        return t.append_column("__part", pa.array(part))
+
+    def part_pairs(t: pa.Table) -> pa.Table:
+        chunk = t.column("chunk").to_numpy(zero_copy_only=False)
+        key = t.column("key").to_numpy(zero_copy_only=False)
+        doc = t.column("doc_id").to_numpy(zero_copy_only=False)
+        hh = t.column("sh").to_numpy(zero_copy_only=False).astype(np.uint64)
+        order = np.lexsort((doc, key, chunk))
+        chunk, key, doc, hh = (chunk[order], key[order], doc[order],
+                               hh[order])
+        n = len(doc)
+        empty = pa.table({"doc_a": pa.array([], type=pa.int64()),
+                          "doc_b": pa.array([], type=pa.int64()),
+                          "hamming": pa.array([], type=pa.int64())})
+        if n < 2:
+            return empty
+        new_run = np.empty(n, dtype=bool)
+        new_run[0] = True
+        new_run[1:] = (chunk[1:] != chunk[:-1]) | (key[1:] != key[:-1])
+        starts = np.flatnonzero(new_run)
+        lens = np.diff(np.append(starts, n))
+        out = []
+        for ri in np.flatnonzero(lens >= 2):
+            s, ln = starts[ri], lens[ri]
+            ids, hv = doc[s:s + ln], hh[s:s + ln]
+            i, j = np.triu_indices(ln, 1)
+            ham = popcount64(hv[i] ^ hv[j])
+            m = (ham <= max_hamming) & (ids[i] != ids[j])
+            if m.any():
+                out.append((ids[i][m], ids[j][m], ham[m]))
+        if not out:
+            return empty
+        a = np.concatenate([o[0] for o in out])
+        b = np.concatenate([o[1] for o in out])
+        hm = np.concatenate([o[2] for o in out])
+        lo = np.minimum(a, b)
+        hi = np.maximum(a, b)
+        return pa.table({"doc_a": pa.array(lo), "doc_b": pa.array(hi),
+                         "hamming": pa.array(hm)})
 
     res = (sh.map_batches(explode, batch_format="pyarrow")
-           .groupby(["chunk", "key"]).map_groups(pairs,
-                                                 batch_format="pandas"))
+           .map_batches(add_part, batch_format="pyarrow")
+           .groupby("__part").map_groups(part_pairs,
+                                         batch_format="pyarrow"))
     res = hash_shuffle_aggregate(res, ["doc_a", "doc_b"],
                                  [("hamming", "min")], num_buckets=16)
     df = res.to_pandas()

@@ -191,3 +191,29 @@ def test_checkpoint_resume_validation(tmp_path):
     w2 = CheckpointWriter(str(tmp_path), {"v": 2})
     assert not w2.is_done("p1")
     assert w2.read_all().num_rows == 0
+
+
+def test_simhash_pairs_match_bruteforce(ray_session):
+    """4-chunk LSH is EXHAUSTIVE for hamming <= 3 (pigeonhole), so the
+    distributed result must equal all-pairs popcount exactly."""
+    import ray.data as rd
+
+    from proj_ray.stages.dedup import simhash64_batch, simhash_near_pairs
+    from proj_ray.stages.hashing import popcount64
+
+    docs = rd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "text"])
+    got = simhash_near_pairs(docs, max_hamming=3)
+    got_set = set(zip(got["doc_a"], got["doc_b"], got["hamming"]))
+
+    t = pq.read_table(f"{SF}/documents.parquet")
+    sh = simhash64_batch(pa.table({"doc_id": t["doc_id"],
+                                   "text": t["text"]}))
+    ids = np.asarray(sh["doc_id"].to_pylist())
+    hv = np.asarray(sh["simhash"].to_pylist(), dtype=np.uint64)
+    i, j = np.triu_indices(len(ids), 1)
+    ham = popcount64(hv[i] ^ hv[j])
+    m = ham <= 3
+    truth = set(zip(np.minimum(ids[i][m], ids[j][m]),
+                    np.maximum(ids[i][m], ids[j][m]), ham[m]))
+    assert got_set == truth
