@@ -921,6 +921,29 @@ SELECT doc_id, off AS offset,
 FROM hits WHERE crossings % 2 = 1""")
 
 
+def q_hex_histogram(sf_dir: str):
+    """Equal-area hexagonal DGGS histogram (ISEA hex cells as the
+    aggregation key); rows-only — the ISEA projection has no SQL form,
+    correctness pinned by tests/test_spatial.py properties."""
+    import pyarrow as pa
+
+    from proj_ray.spatial.cells import isea_hex_cell
+    from proj_ray.stages.agg import hash_shuffle_aggregate
+
+    def add_hex(batch: pa.Table) -> pa.Table:
+        cell = isea_hex_cell(
+            batch.column("lon").to_numpy(zero_copy_only=False),
+            batch.column("lat").to_numpy(zero_copy_only=False),
+            resolution=5)
+        return pa.table({"hex_cell": pa.array(cell),
+                         "n": pa.array(np.ones(len(cell), dtype=np.int64))})
+
+    hexed = coords_dataset(sf_dir).map_batches(add_hex,
+                                               batch_format="pyarrow")
+    return hash_shuffle_aggregate(hexed, ["hex_cell"], [("n", "sum")],
+                                  num_buckets=16)
+
+
 def q_knn_geodesic(sf_dir: str):
     """Exact kNN via cell-ring + Karney refine (rows-only; equality with
     brute force asserted in tests)."""
@@ -1034,6 +1057,7 @@ def build_queries():
         "pip_polygons": q_pip_polygons,
         "pip_polygons_shuffle": q_pip_polygons_shuffle,
         "knn_geodesic": q_knn_geodesic,
+        "hex_histogram": q_hex_histogram,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
         "embedding_near_dup": q_embedding_near_dup,

@@ -156,3 +156,101 @@ def s2_parent(cell, level_from: int, level_to: int):
     face = cells >> np.int64(2 * level_from)
     code = cells & ((np.int64(1) << np.int64(2 * level_from)) - 1)
     return (face << np.int64(2 * level_to)) | (code >> np.int64(shift))
+
+
+# ---------------------------------------------------------------------------
+# ISEA hexagonal DGGS cells (the engine's H3-style index)
+# ---------------------------------------------------------------------------
+
+_ISEA_PIPELINE = None
+
+
+def _isea():
+    """Module-cached ISEA projection (icosahedral Snyder equal-area,
+    ops/isea.py — gie-conformant).  Built once per worker process."""
+    global _ISEA_PIPELINE
+    if _ISEA_PIPELINE is None:
+        from proj_ray.pipeline import create_operation
+
+        _ISEA_PIPELINE = create_operation("+proj=isea +ellps=WGS84")
+    return _ISEA_PIPELINE
+
+
+# base hex circumradius in ISEA plane meters; resolution r shrinks the
+# hexagon by sqrt(3) per step (aperture-3 DGGS, Sahr et al. 2003:
+# "Geodesic discrete global grid systems")
+_HEX_BASE_M = 1_000_000.0
+_SQRT3 = 1.7320508075688772
+
+
+def isea_hex_cell(lon_deg, lat_deg, resolution: int = 4):
+    """Hexagonal cell ids over the ISEA equal-area plane.
+
+    Points project with the icosahedral Snyder equal-area map (so cell
+    areas are uniform across the globe, unlike lat/lon grid cells),
+    then snap to the nearest center of a pointy-top hex lattice whose
+    size shrinks by sqrt(3) per resolution (aperture 3).  Returns
+    int64 ids encoding (resolution, axial q, axial r); hierarchical
+    coarsening = re-binning at a smaller resolution.
+
+    Caveat: the ISEA plane is an interrupted icosahedral net, so cells
+    that straddle a face boundary are split (a true H3 keeps per-face
+    grids with 12 pentagons instead).  Fine as a shuffle/aggregation
+    key — the use here — since membership is still deterministic and
+    cell areas stay uniform; do not use raw cell adjacency across face
+    edges.
+    """
+    import numpy as np
+
+    from proj_ray.pipeline import transform_arrays
+
+    c = transform_arrays(_isea(), np.asarray(lon_deg, dtype=np.float64),
+                         np.asarray(lat_deg, dtype=np.float64))
+    size = _HEX_BASE_M / (_SQRT3 ** resolution)
+    # axial coordinates of a pointy-top hex lattice
+    q = (_SQRT3 / 3.0 * c.x - 1.0 / 3.0 * c.y) / size
+    r = (2.0 / 3.0 * c.y) / size
+    qi, ri = _hex_round(q, r)
+    # pack: 5 bits resolution | 29 bits q | 29 bits r (offset-binary)
+    off = np.int64(1 << 28)
+    return ((np.int64(resolution) << np.int64(58))
+            | ((qi + off) << np.int64(29)) | (ri + off))
+
+
+def _hex_round(q, r):
+    """Cube-coordinate rounding to the nearest hex center."""
+    import numpy as np
+
+    x = q
+    z = r
+    y = -x - z
+    rx = np.round(x)
+    ry = np.round(y)
+    rz = np.round(z)
+    dx = np.abs(rx - x)
+    dy = np.abs(ry - y)
+    dz = np.abs(rz - z)
+    fix_x = (dx > dy) & (dx > dz)
+    fix_z = ~fix_x & (dz > dy)
+    rx = np.where(fix_x, -ry - rz, rx)
+    rz = np.where(fix_z, -rx - ry, rz)
+    return rx.astype(np.int64), rz.astype(np.int64)
+
+
+def isea_hex_center_plane(cell):
+    """Cell id -> hex center in ISEA plane meters.  (The reference's
+    isea projection has no inverse — src/projections/isea.cpp defines
+    only a forward — so centers are exposed in plane space; binning
+    correctness is testable there: every point lies within one
+    circumradius of its cell center.)"""
+    import numpy as np
+
+    cell = np.asarray(cell, dtype=np.int64)
+    resolution = (cell >> np.int64(58)).astype(np.int64)
+    off = np.int64(1 << 28)
+    qi = ((cell >> np.int64(29)) & np.int64((1 << 29) - 1)) - off
+    ri = (cell & np.int64((1 << 29) - 1)) - off
+    size = _HEX_BASE_M / (_SQRT3 ** resolution.astype(np.float64))
+    x = size * (_SQRT3 * qi + _SQRT3 / 2.0 * ri)
+    y = size * (1.5 * ri)
+    return x, y

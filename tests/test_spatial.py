@@ -202,3 +202,37 @@ def test_knn_brute_vs_cell_ring(ray_session, coords_ds, coords):
     assert (r["doc_id"].values == bk["doc_id"].values).all()
     assert np.allclose(r["dist_m"].values, bk["dist_m"].values)
     assert len(b) == 20 * 5
+
+
+def test_isea_hex_cells_equal_area_and_containment(ray_session):
+    """Hex DGGS cells: every point within one circumradius of its cell
+    center in the ISEA plane; occupancy flat across latitude bands
+    (equal-area, unlike the lon/lat grid)."""
+    import numpy as np
+
+    from proj_ray.pipeline import transform_arrays
+    from proj_ray.spatial.cells import (_HEX_BASE_M, _SQRT3, _isea,
+                                        isea_hex_cell,
+                                        isea_hex_center_plane)
+
+    rng = np.random.default_rng(3)
+    lon = rng.uniform(-179, 179, 5000)
+    lat = rng.uniform(-85, 85, 5000)
+    res = 6
+    cells = isea_hex_cell(lon, lat, resolution=res)
+    cx, cy = isea_hex_center_plane(cells)
+    c = transform_arrays(_isea(), lon, lat)
+    size = _HEX_BASE_M / (_SQRT3 ** res)
+    assert (np.hypot(c.x - cx, c.y - cy) <= size * 1.0000001).all()
+    # determinism + hierarchy: coarser resolution has fewer cells
+    assert (isea_hex_cell(lon, lat, resolution=res) == cells).all()
+    coarse = isea_hex_cell(lon, lat, resolution=res - 2)
+    assert len(np.unique(coarse)) < len(np.unique(cells))
+    # equal-area: points-per-cell flat across latitude bands
+    import collections
+    rates = []
+    for b in ((-85, -45), (-45, 0), (0, 45), (45, 85)):
+        m = (lat >= b[0]) & (lat < b[1])
+        cc = collections.Counter(cells[m])
+        rates.append(np.mean(list(cc.values())))
+    assert max(rates) / min(rates) < 1.4
