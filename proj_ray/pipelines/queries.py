@@ -921,6 +921,57 @@ SELECT doc_id, off AS offset,
 FROM hits WHERE crossings % 2 = 1""")
 
 
+def q_span_sequence(sf_dir: str):
+    """Full per-row span-sequence export (kind, media_ref, order, and
+    the text payload for non-coord spans) — the north-rule invariant
+    checked row-by-row against SQL.  Coord spans' text carries
+    shortest-roundtrip float formatting that SQL can't reproduce; its
+    CONTENT is oracle-checked separately via span_coords (the parsed
+    lon/lat), so it is blanked on both sides here."""
+    docs = doc_dataset_from_documents(sf_dir)
+
+    def explode(t: pa.Table) -> pa.Table:
+        spans = t.column("spans")
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        off_arr = spans.offsets.to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        counts = np.diff(off_arr - off_arr[0])
+        flat = spans.flatten()
+        doc_rep = t.column("doc_id").take(
+            pa.array(np.repeat(np.arange(len(t), dtype=np.int64), counts)))
+        kind = flat.field("kind")
+        text = flat.field("text")
+        media = flat.field("media_ref")
+        off = flat.field("offset")
+        is_coord = pc.equal(kind, "coord")
+        text_norm = pc.if_else(is_coord, "", text)
+        out = pa.table({
+            "doc_id": doc_rep,
+            "offset": off,
+            "kind": kind,
+            "media_ref": media,
+            "text_norm": text_norm,
+        })
+        return _doc_id_to_int(out)
+
+    return docs.map_batches(explode, batch_format="pyarrow")
+
+
+SQL_SPAN_SEQUENCE = (
+    "WITH " + sql_coords_cte() + """
+ SELECT doc_id, off AS offset,
+        CASE WHEN s1 % 5 < 2 THEN 'text'
+             WHEN s1 % 5 < 4 THEN 'coord' ELSE 'media' END AS kind,
+        CASE WHEN s1 % 5 >= 4
+             THEN 'media://' || lpad(CAST(s2 AS VARCHAR), 10, '0')
+             ELSE '' END AS media_ref,
+        CASE WHEN s1 % 5 < 2 THEN 'text ' || CAST(s2 AS VARCHAR)
+             ELSE '' END AS text_norm
+ FROM r2"""
+)
+
+
 def q_hex_histogram(sf_dir: str):
     """Equal-area hexagonal DGGS histogram (ISEA hex cells as the
     aggregation key); rows-only — the ISEA projection has no SQL form,
@@ -1035,6 +1086,7 @@ def q_lang_quality(sf_dir: str):
 def build_queries():
     return {
         "span_coords": q_span_coords,
+        "span_sequence": q_span_sequence,
         "webmerc_project": q_webmerc,
         "merc_ell_project": q_merc_ell,
         "lcc_project": q_lcc,
@@ -1070,6 +1122,7 @@ def build_queries():
 def build_oracles():
     return {
         "span_coords": SQL_SPAN_COORDS,
+        "span_sequence": SQL_SPAN_SEQUENCE,
         "webmerc_project": SQL_WEBMERC,
         "merc_ell_project": SQL_MERC_ELL,
         "lcc_project": _sql_lcc(),

@@ -39,7 +39,7 @@ def _to_pandas(res):
 
 
 @pytest.mark.parametrize("name", [
-    "span_coords", "webmerc_project", "cell_assign", "tile_assign",
+    "span_coords", "span_sequence", "webmerc_project", "cell_assign", "tile_assign",
     "rect_join", "knn_haversine", "cart_helmert", "text_stats",
     "hgridshift_synth", "vgridshift_synth", "pip_polygons", "utm_project",
     "exact_dedup", "events_window", "lineitem_agg",
