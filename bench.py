@@ -51,6 +51,8 @@ QUERY_NAMES = [
     "ann_ivf",
     "embedding_near_dup",
     "lang_quality",
+    "span_sequence",
+    "hex_histogram",
 ]
 
 

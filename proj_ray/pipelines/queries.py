@@ -437,12 +437,13 @@ def q_knn_haversine(sf_dir: str):
     rank tie-break on (rounded distance, doc_id, off)."""
     queries = make_queries(50)
     from proj_ray.spatial.knn import BruteKNNJoiner
+    from proj_ray.stages.ann import _cached_fn
     import ray
 
     qref = ray.put(queries)
     partial = coords_dataset(sf_dir).map_batches(
-        BruteKNNJoiner, fn_constructor_args=(qref, 5, "haversine"),
-        batch_format="pyarrow", batch_size=65536, concurrency=2)
+        _cached_fn(BruteKNNJoiner, qref, 5, "haversine"),
+        batch_format="pyarrow", batch_size=65536)
 
     # the partial stream is tiny (n_queries * k * n_blocks rows):
     # merge on the driver instead of paying a distributed sort

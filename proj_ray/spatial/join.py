@@ -45,11 +45,9 @@ class BroadcastPIPJoiner:
     index (fetched from the object store once per actor)."""
 
     def __init__(self, index_ref):
-        import ray
+        from proj_ray.stages.worker_cache import get_broadcast
 
-        self.index: PolygonIndex = (
-            ray.get(index_ref) if not isinstance(index_ref, PolygonIndex)
-            else index_ref)
+        self.index: PolygonIndex = get_broadcast(index_ref)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         lon = batch.column("lon").to_numpy(zero_copy_only=False)
@@ -68,14 +66,14 @@ def broadcast_pip_join(coords_ds, polygons: Dict, res_deg: float = 5.0,
     """coords_ds: Dataset with (doc_id, offset, lon, lat)."""
     import ray
 
+    from proj_ray.stages.ann import _cached_fn
+
     index = PolygonIndex(polygons, res_deg)
     ref = ray.put(index)
     return coords_ds.map_batches(
-        BroadcastPIPJoiner,
-        fn_constructor_args=(ref,),
+        _cached_fn(BroadcastPIPJoiner, ref),
         batch_format="pyarrow",
         batch_size=65536,
-        concurrency=concurrency,
     )
 
 

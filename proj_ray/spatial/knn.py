@@ -50,10 +50,9 @@ class BruteKNNJoiner:
     top-k per query per batch (combiner); a final small groupby merges."""
 
     def __init__(self, queries_ref, k: int, metric: str = "haversine"):
-        import ray
+        from proj_ray.stages.worker_cache import get_broadcast
 
-        q = ray.get(queries_ref) if not isinstance(queries_ref, dict) \
-            else queries_ref
+        q = get_broadcast(queries_ref)
         self.qlon = np.asarray(q["lon"], dtype=np.float64)
         self.qlat = np.asarray(q["lat"], dtype=np.float64)
         self.qid = np.asarray(q["query_id"], dtype=np.int64)
@@ -116,13 +115,13 @@ def knn_brute(coords_ds, queries: Dict, k: int = 5,
     import ray
     import ray.data as rd
 
+    from proj_ray.stages.ann import _cached_fn
+
     qref = ray.put(queries)
     partial = coords_ds.map_batches(
-        BruteKNNJoiner,
-        fn_constructor_args=(qref, k, metric),
+        _cached_fn(BruteKNNJoiner, qref, k, metric),
         batch_format="pyarrow",
         batch_size=65536,
-        concurrency=concurrency,
     )
     df = partial.to_pandas()
     if len(df) == 0:

@@ -23,11 +23,14 @@ def _normalize(mat: np.ndarray) -> np.ndarray:
 
 
 class BruteANN:
-    def __init__(self, qmat_ref, qids_ref, k: int):
-        import ray
+    """Holds the broadcast query matrix; built once per worker via
+    worker_cache (task pool — no actor spin-up per query)."""
 
-        self.q = ray.get(qmat_ref)  # (nq, d) normalized
-        self.qids = ray.get(qids_ref)
+    def __init__(self, qmat_ref, qids_ref, k: int):
+        from proj_ray.stages.worker_cache import get_broadcast
+
+        self.q = get_broadcast(qmat_ref)  # (nq, d) normalized
+        self.qids = get_broadcast(qids_ref)
         self.k = k
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
@@ -76,9 +79,27 @@ def ann_brute_topk(emb_ds, queries: Dict, k: int = 5, concurrency: int = 2):
     qref = ray.put(qmat)
     iref = ray.put(np.asarray(queries["query_id"], dtype=np.int64))
     partial = emb_ds.map_batches(
-        BruteANN, fn_constructor_args=(qref, iref, k),
-        batch_format="pandas", batch_size=8192, concurrency=concurrency)
+        _cached_fn(BruteANN, qref, iref, k),
+        batch_format="pandas", batch_size=8192)
     return _driver_merge(partial, k)
+
+
+def _cached_fn(cls, *args):
+    """Task-pool wrapper: one instance per worker process, keyed by the
+    constructor args (ObjectRefs hash stably); avoids paying actor-pool
+    startup on every query invocation."""
+    key = tuple(a.hex() if hasattr(a, "hex") else repr(a) for a in args)
+
+    def fn(batch):
+        from proj_ray.stages.worker_cache import _CACHE
+
+        inst = _CACHE.get(("inst", cls.__name__, key))
+        if inst is None:
+            inst = cls(*args)
+            _CACHE[("inst", cls.__name__, key)] = inst
+        return inst(batch)
+
+    return fn
 
 
 def kmeans_lite(mat: np.ndarray, n_centroids: int, iters: int = 5,
@@ -110,12 +131,12 @@ class IVFScorer:
     yields vectorized partial top-k across all queries at once."""
 
     def __init__(self, qmat_ref, qids_ref, probe_ref, cent_ref, k: int):
-        import ray
+        from proj_ray.stages.worker_cache import get_broadcast
 
-        self.q = ray.get(qmat_ref)
-        self.qids = ray.get(qids_ref)
-        probe = ray.get(probe_ref)  # (nq, nprobe) bucket ids
-        self.cent = ray.get(cent_ref)
+        self.q = get_broadcast(qmat_ref)
+        self.qids = get_broadcast(qids_ref)
+        probe = get_broadcast(probe_ref)  # (nq, nprobe) bucket ids
+        self.cent = get_broadcast(cent_ref)
         self.k = k
         nq, nc = len(self.qids), len(self.cent)
         # (nq, n_centroids) lookup: does query q probe bucket b?
@@ -197,8 +218,8 @@ def ann_ivf_topk(emb_ds, queries: Dict, k: int = 5, n_centroids: int = 16,
             ray.put(np.asarray(queries["query_id"], dtype=np.int64)),
             ray.put(probe), ray.put(cent))
     partial = emb_ds.map_batches(
-        IVFScorer, fn_constructor_args=(*refs, k),
-        batch_format="pandas", batch_size=8192, concurrency=concurrency)
+        _cached_fn(IVFScorer, *refs, k),
+        batch_format="pandas", batch_size=8192)
     return _driver_merge(partial, k)
 
 
@@ -247,6 +268,6 @@ def ann_ivf_topk_indexed(index_dir: str, queries: Dict, k: int = 5,
     pref = ray.put(probe)
     cref = ray.put(cent)
     partial = ds.map_batches(
-        IVFScorer, fn_constructor_args=(qref, iref, pref, cref, k),
-        batch_format="pandas", batch_size=8192, concurrency=concurrency)
+        _cached_fn(IVFScorer, qref, iref, pref, cref, k),
+        batch_format="pandas", batch_size=8192)
     return _driver_merge(partial, k)
