@@ -1017,6 +1017,42 @@ def q_minhash_pairs(sf_dir: str):
     return minhash_lsh_pairs(ds, jaccard_threshold=0.7)
 
 
+def q_ngram_jaccard(sf_dir: str):
+    """Deterministically complete char-4-gram Jaccard similarity join
+    (prefix-filtered set-similarity join).  Oracle-exact: crc32 over a
+    4-byte window is a bijection, so hashed-shingle set sizes equal the
+    string-4-gram set sizes DuckDB computes, and inter/union divides
+    identically on both sides."""
+    import ray.data as rd
+
+    from proj_ray.stages.dedup import ngram_jaccard_pairs
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return ngram_jaccard_pairs(ds, jaccard_threshold=0.8, ngram=4)
+
+
+SQL_NGRAM_JACCARD = """
+WITH sets AS (
+    SELECT doc_id,
+           list_distinct(list_transform(
+               range(1, length(text) - 2),
+               i -> substr(text, i, 4))) AS sh
+    FROM documents
+),
+pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           len(list_intersect(a.sh, b.sh)) AS inter,
+           len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS uni
+    FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, inter::DOUBLE / uni AS jaccard
+FROM pairs
+WHERE inter::DOUBLE / uni >= 0.8
+ORDER BY doc_a, doc_b
+"""
+
+
 def q_simhash_pairs(sf_dir: str):
     import ray.data as rd
 
@@ -1112,6 +1148,7 @@ def build_queries():
         "knn_geodesic": q_knn_geodesic,
         "hex_histogram": q_hex_histogram,
         "minhash_pairs": q_minhash_pairs,
+        "ngram_jaccard": q_ngram_jaccard,
         "simhash_pairs": q_simhash_pairs,
         "embedding_near_dup": q_embedding_near_dup,
         "ann_ivf": q_ann_ivf,
@@ -1144,4 +1181,5 @@ def build_oracles():
         "ann_topk": SQL_ANN_TOPK,
         "events_window": SQL_EVENTS_WINDOW,
         "lineitem_agg": SQL_LINEITEM_AGG,
+        "ngram_jaccard": SQL_NGRAM_JACCARD,
     }

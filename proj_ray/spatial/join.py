@@ -240,8 +240,12 @@ def rect_join_batch(batch: pa.Table, rects: Dict) -> pa.Table:
             hits_r.append(np.full(len(idx), rects["rect_id"][i],
                                   dtype=np.int64))
     if not hits_p:
-        return pa.table({"doc_id": pa.array([], type=pa.string()),
-                         "off": pa.array([], type=pa.int32()),
+        # derive empty-column types from the INPUT batch: a hard-coded
+        # schema here diverges from non-empty blocks mid-stream the
+        # first time a batch has no hits (latent r2 bug)
+        none = pa.array([], type=pa.int64())
+        return pa.table({"doc_id": batch.column("doc_id").take(none),
+                         "off": batch.column("offset").take(none),
                          "rect_id": pa.array([], type=pa.int64())})
     pts = pa.array(np.concatenate(hits_p))
     return pa.table({

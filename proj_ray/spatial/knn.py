@@ -64,9 +64,12 @@ class BruteKNNJoiner:
         lon = batch.column("lon").to_numpy(zero_copy_only=False)
         lat = batch.column("lat").to_numpy(zero_copy_only=False)
         if len(lon) == 0:
+            # empty-column types must match non-empty blocks (take with
+            # an empty index list preserves the input column types)
+            none = pa.array([], type=pa.int64())
             return pa.table({"query_id": pa.array([], type=pa.int64()),
-                             "doc_id": pa.array([], type=pa.string()),
-                             "off": pa.array([], type=pa.int32()),
+                             "doc_id": batch.column("doc_id").take(none),
+                             "off": batch.column("offset").take(none),
                              "dist_m": pa.array([], type=pa.float64())})
         out_q = []
         out_idx = []

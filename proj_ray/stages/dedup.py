@@ -206,14 +206,144 @@ def pair_jaccard(list_a, list_b) -> np.ndarray:
         return np.where(union > 0, inter / union, 1.0)
 
 
+# Verification-path gates.  The broadcast path needs (a) the pair
+# stream small enough to collect on the driver (16 bytes/pair) and
+# (b) the DISTINCT docs appearing in pairs small enough that their
+# shingle sets broadcast (~5 KB/doc) — pair count does NOT bound the
+# payload, distinct-doc count does.  Streams beyond either gate fall
+# back to the doc_id-keyed hash shuffle join.
+_BROADCAST_PAIR_LIMIT = 2_000_000
+_BROADCAST_DOC_LIMIT = 100_000
+
+
+def _verify_pairs(pairs, sigs_src, jaccard_threshold: float):
+    """Exact-Jaccard verification of a candidate-pair Dataset against a
+    (doc_id, shingles) producer.
+
+    `pairs` must be a MATERIALIZED Dataset of (doc_a, doc_b);
+    `sigs_src` is a zero-arg callable returning the streaming shingle
+    Dataset (so the corpus pass only happens when needed).  Returns the
+    verified pairs as a sorted pandas DataFrame with columns
+    (doc_a, doc_b, jaccard) where jaccard is the UNROUNDED inter/union
+    double — bit-identical to SQL `inter::DOUBLE / uni`, which is what
+    the DuckDB oracle computes.
+
+    Two shapes, picked by candidate count:
+
+    * small (<= _BROADCAST_PAIR_LIMIT): the pair stream fits the
+      driver.  The shingle stream is FILTERED distributed to only the
+      docs appearing in some pair (bounded by 2x pair count), the
+      filtered set is broadcast once via ray.put, and each pair batch
+      joins against it in-task through the per-worker cache.  No
+      Dataset.join — immune to the empty-hash-partition ArrowInvalid
+      that a tiny stream split 16 ways produces (CORRECTNESS_r02
+      minhash_pairs crash).
+    * large: hash shuffle joins keyed by doc_id, with num_partitions
+      sized by the PAIR COUNT (not the CPU count) so no Acero
+      partition is empty."""
+    import ray
+
+    from proj_ray.stages.worker_cache import get_broadcast
+
+    empty = pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                          "doc_b": pd.Series([], dtype="int64"),
+                          "jaccard": pd.Series([], dtype="float64")})
+    n_pairs = pairs.count()
+    if n_pairs == 0:
+        return empty
+
+    need = None
+    if n_pairs <= _BROADCAST_PAIR_LIMIT:
+        pair_tbl = pa.concat_tables(
+            ray.get(pairs.to_arrow_refs()), promote_options="default")
+        need = np.unique(np.concatenate([
+            pair_tbl.column("doc_a").to_numpy(zero_copy_only=False),
+            pair_tbl.column("doc_b").to_numpy(zero_copy_only=False)]))
+        if len(need) > _BROADCAST_DOC_LIMIT:
+            need = None  # payload too big to broadcast — shuffle join
+
+    if need is not None:
+        need_ref = ray.put(need)
+
+        def filt(t: pa.Table) -> pa.Table:
+            ids = get_broadcast(need_ref)  # sorted
+            d = t.column("doc_id").to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(ids, d)
+            pos[pos >= len(ids)] = 0
+            return t.filter(pa.array(ids[pos] == d))
+
+        small = sigs_src().map_batches(filt, batch_format="pyarrow")
+        sig_tbl = pa.concat_tables(ray.get(small.to_arrow_refs()),
+                                   promote_options="default")
+        order = np.argsort(
+            sig_tbl.column("doc_id").to_numpy(zero_copy_only=False))
+        sig_tbl = sig_tbl.take(pa.array(order)).combine_chunks()
+        sig_ref = ray.put(sig_tbl)
+
+        def verify(t: pa.Table) -> pa.Table:
+            sig = get_broadcast(sig_ref)
+            ids = sig.column("doc_id").to_numpy(zero_copy_only=False)
+            sh = sig.column("shingles")
+            a = t.column("doc_a").to_numpy(zero_copy_only=False)
+            b = t.column("doc_b").to_numpy(zero_copy_only=False)
+            sh_a = sh.take(pa.array(np.searchsorted(ids, a)))
+            sh_b = sh.take(pa.array(np.searchsorted(ids, b)))
+            jac = pair_jaccard(sh_a, sh_b)
+            out = pa.table({"doc_a": t.column("doc_a"),
+                            "doc_b": t.column("doc_b"),
+                            "jaccard": pa.array(jac)})
+            return out.filter(pa.array(jac >= jaccard_threshold))
+
+        verified = pairs.map_batches(verify, batch_format="pyarrow")
+    else:
+        # one corpus pass for the shingle sets, pinned in the object
+        # store: without this each hash join re-executes the whole
+        # upstream while its aggregator actors hold CPU slots
+        sigs = sigs_src().materialize()
+        # every Acero hash partition must be non-empty: size the
+        # partition count by the pair stream, capped by the cluster
+        nparts = max(2, min(_join_partitions(), n_pairs // 1024))
+        joined = pairs.join(sigs, join_type="inner",
+                            num_partitions=nparts,
+                            on=("doc_a",), right_on=("doc_id",))
+        joined = joined.rename_columns({"shingles": "sh_a"})
+        joined = joined.join(sigs, join_type="inner",
+                             num_partitions=nparts,
+                             on=("doc_b",), right_on=("doc_id",))
+        joined = joined.rename_columns({"shingles": "sh_b"})
+
+        def verify_joined(t: pa.Table) -> pa.Table:
+            jac = pair_jaccard(t.column("sh_a"), t.column("sh_b"))
+            out = pa.table({"doc_a": t.column("doc_a"),
+                            "doc_b": t.column("doc_b"),
+                            "jaccard": pa.array(jac)})
+            return out.filter(pa.array(jac >= jaccard_threshold))
+
+        verified = joined.map_batches(verify_joined, batch_format="pyarrow")
+
+    df = verified.to_pandas()  # final result: near-dup pairs (small)
+    if df.empty:
+        return empty
+    return df.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
 def minhash_lsh_pairs(docs_ds, jaccard_threshold: float = 0.8):
     """MinHash-LSH near-dup pairs with exact Jaccard verification.
 
     Scale shape: (1) LSH explode + groupby(band) shuffle produces
-    candidate pairs; (2) pairs are verified by joining doc_a and doc_b
-    against the per-doc shingle-set table (two hash-partitioned shuffle
-    joins keyed by doc_id) and computing the exact Jaccard vectorized.
-    The driver never holds document text; all stages stream."""
+    candidate pairs; (2) pairs are verified against the per-doc
+    shingle-set stream by `_verify_pairs` (broadcast join for small
+    candidate streams, doc_id-keyed shuffle joins for large ones) and
+    the exact Jaccard is computed vectorized.  The driver never holds
+    document text; all stages stream.
+
+    Recall note (ADVICE r2): with 64 permutations in _N_BANDS=8 bands
+    of 8 rows, the S-curve midpoint is (1/8)^(1/8) ~= 0.77 — a pair AT
+    jaccard exactly 0.8 is caught with p ~= 77%, rising to > 99.9% by
+    j = 0.93.  This trades boundary recall for a ~20x candidate-count
+    reduction against j ~= 0.45 template noise (measured round 1); use
+    `ngram_jaccard_pairs` when deterministic completeness at the
+    threshold is required."""
     bands = docs_ds.map_batches(minhash_bands_batch, batch_format="pyarrow")
     # Shuffling into (band_id, band_hash) groups directly would create
     # one tiny pandas group per LSH bucket (tens of thousands) — the
@@ -279,35 +409,163 @@ def minhash_lsh_pairs(docs_ds, jaccard_threshold: float = 0.8):
         batch_format="pyarrow")
     pairs = hash_shuffle_aggregate(pairs, ["doc_a", "doc_b"],
                                    [("one", "min")], num_buckets=16)
-    # candidate stream is tiny; pin it so both joins read the same blocks
+    # candidate stream is small relative to the corpus; pin it so the
+    # verify pass (and its count) reads the same blocks
     pairs = pairs.drop_columns(["one"]).materialize()
+    return _verify_pairs(
+        pairs,
+        lambda: docs_ds.map_batches(shingle_sets_batch,
+                                    batch_format="pyarrow"),
+        jaccard_threshold)
 
-    # one corpus pass for the shingle sets, pinned in the object store:
-    # without this, each hash join re-executes the whole upstream while
-    # its aggregator actors hold CPU slots — a 10x wall-time hit
-    sigs = docs_ds.map_batches(shingle_sets_batch,
+
+def ngram_jaccard_pairs(docs_ds, jaccard_threshold: float = 0.8,
+                        ngram: int = 4):
+    """DETERMINISTICALLY COMPLETE n-gram Jaccard similarity join:
+    every pair with exact character-n-gram Jaccard >= threshold is
+    returned (no LSH miss probability — the oracle-pairable variant of
+    `minhash_lsh_pairs`).
+
+    Classic prefix-filtering set-similarity join (Chaudhuri/Ganti/
+    Kaushik SSJoin 2006; Xiao et al. PPJoin 2008), Ray-Data-shaped:
+
+    1. one corpus pass builds per-doc sorted-unique shingle sets;
+    2. a hash-partitioned aggregate counts document frequency per
+       shingle (char-n-gram vocabulary is bounded — <= 2^32 by
+       construction, ~10^6-10^7 on natural text — so the frequency
+       table broadcasts; for unbounded word-shingle vocabularies use
+       hash-order prefixes instead);
+    3. each doc emits only its PREFIX tokens — the p = s - ceil(t*s) + 1
+       rarest shingles under the global (freq, hash) order.  Any pair
+       with J >= t must share a prefix token (prefix-filter theorem),
+       so grouping prefix rows by shingle yields a complete candidate
+       set; rarest-first ordering keeps the per-shingle doc runs small
+       on natural text (a shared COMMON shingle never appears in a
+       prefix);
+    4. candidates pass the size-ratio filter (min(s)/max(s) >= t is
+       necessary for J >= t) before the exact-Jaccard verify shared
+       with MinHash (`_verify_pairs`)."""
+    import ray
+
+    from proj_ray.stages.agg import hash_shuffle_aggregate
+    from proj_ray.stages.worker_cache import get_broadcast
+
+    def sets_batch(t: pa.Table) -> pa.Table:
+        from proj_ray.stages.hashing import doc_shingles, \
+            segment_sorted_unique
+
+        hashes, seg = doc_shingles(t.column("text"), ngram)
+        vals, new_seg = segment_sorted_unique(hashes, seg)
+        n = len(new_seg) - 1
+        byte_off = (new_seg * 8).astype(np.int32)
+        blob = pa.BinaryArray.from_buffers(
+            pa.binary(), n,
+            [None, pa.py_buffer(byte_off.tobytes()),
+             pa.py_buffer(np.ascontiguousarray(vals).tobytes())])
+        return pa.table({"doc_id": t.column("doc_id"), "shingles": blob})
+
+    sigs = docs_ds.map_batches(sets_batch,
                                batch_format="pyarrow").materialize()
-    # the hash join drops the right key column itself; its aggregator
-    # actors must fit the cluster or the pipeline stalls, so partitions
-    # scale with available CPUs
-    nparts = _join_partitions()
-    joined = pairs.join(sigs, join_type="inner", num_partitions=nparts,
-                        on=("doc_a",), right_on=("doc_id",))
-    joined = joined.rename_columns({"shingles": "sh_a"})
-    joined = joined.join(sigs, join_type="inner", num_partitions=nparts,
-                         on=("doc_b",), right_on=("doc_id",))
-    joined = joined.rename_columns({"shingles": "sh_b"})
 
-    def verify(t: pa.Table) -> pa.Table:
-        jac = np.round(pair_jaccard(t.column("sh_a"), t.column("sh_b")), 9)
-        out = pa.table({"doc_a": t.column("doc_a"),
-                        "doc_b": t.column("doc_b"),
-                        "jaccard": pa.array(jac)})
-        return out.filter(pa.array(jac >= jaccard_threshold))
+    # (2) document frequency per shingle: per-block combine first, so
+    # the shuffle moves vocab-bounded partials, not the corpus
+    def explode_shingles(t: pa.Table) -> pa.Table:
+        vals, _ = _binary_int64_segments(t.column("shingles"))
+        return pa.table({"shingle": pa.array(vals),
+                         "df": pa.array(np.ones(len(vals),
+                                                dtype=np.int64))})
 
-    verified = joined.map_batches(verify, batch_format="pyarrow")
-    df = verified.to_pandas()  # final result: near-dup pairs (small)
-    return df.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    freq_ds = hash_shuffle_aggregate(
+        sigs.map_batches(explode_shingles, batch_format="pyarrow"),
+        ["shingle"], [("df", "sum")], num_buckets=32)
+    freq_tbl = pa.concat_tables(ray.get(freq_ds.to_arrow_refs()),
+                                promote_options="default")
+    fvals = freq_tbl.column("shingle").to_numpy(zero_copy_only=False)
+    fcnts = freq_tbl.column("df").to_numpy(zero_copy_only=False)
+    forder = np.argsort(fvals)
+    freq_ref = ray.put((fvals[forder], fcnts[forder]))
+
+    # (3) prefix emission: rank each doc's shingles rarest-first and
+    # keep the first p = s - ceil(t*s) + 1
+    def prefix_rows(t: pa.Table) -> pa.Table:
+        fv, fc = get_broadcast(freq_ref)
+        vals, off = _binary_int64_segments(t.column("shingles"))
+        doc = t.column("doc_id").to_numpy(zero_copy_only=False)
+        counts = np.diff(off)
+        n_docs = len(counts)
+        doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
+        df = fc[np.searchsorted(fv, vals)]
+        order = np.lexsort((vals, df, doc_idx))
+        rank = np.arange(len(vals), dtype=np.int64) \
+            - np.repeat(off[:-1], counts)
+        p = counts - np.ceil(jaccard_threshold * counts).astype(np.int64) \
+            + 1
+        keep = order[rank < np.repeat(p, counts)]
+        return pa.table({
+            "shingle": pa.array(vals[keep]),
+            "doc_id": pa.array(doc[doc_idx[keep]]),
+            "nsh": pa.array(counts[doc_idx[keep]]),
+        })
+
+    num_parts = 32
+
+    def add_part(t: pa.Table) -> pa.Table:
+        s = t.column("shingle").to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        part = ((s * _MIX) % np.uint64(num_parts)).astype(np.int64)
+        return t.append_column("__part", pa.array(part))
+
+    def part_pairs(t: pa.Table) -> pa.Table:
+        sh = t.column("shingle").to_numpy(zero_copy_only=False)
+        doc = t.column("doc_id").to_numpy(zero_copy_only=False)
+        nsh = t.column("nsh").to_numpy(zero_copy_only=False)
+        order = np.lexsort((doc, sh))
+        sh, doc, nsh = sh[order], doc[order], nsh[order]
+        n = len(doc)
+        empty = pa.table({"doc_a": pa.array([], type=pa.int64()),
+                          "doc_b": pa.array([], type=pa.int64())})
+        if n < 2:
+            return empty
+        new_run = np.empty(n, dtype=bool)
+        new_run[0] = True
+        new_run[1:] = sh[1:] != sh[:-1]
+        starts = np.flatnonzero(new_run)
+        lens = np.diff(np.append(starts, n))
+        out_a = []
+        out_b = []
+        for ri in np.flatnonzero(lens >= 2):
+            s0, ln = starts[ri], lens[ri]
+            ids, sz = doc[s0:s0 + ln], nsh[s0:s0 + ln]
+            uniq, first = np.unique(ids, return_index=True)
+            if len(uniq) < 2:
+                continue
+            sz = sz[first]
+            i, j = np.triu_indices(len(uniq), 1)
+            # size-ratio filter: J >= t requires min(s)/max(s) >= t
+            ok = np.minimum(sz[i], sz[j]) \
+                >= jaccard_threshold * np.maximum(sz[i], sz[j])
+            out_a.append(uniq[i[ok]])
+            out_b.append(uniq[j[ok]])
+        if not out_a:
+            return empty
+        a = np.concatenate(out_a)
+        b = np.concatenate(out_b)
+        uniq = np.unique(np.stack([a, b], axis=1), axis=0)
+        return pa.table({"doc_a": pa.array(uniq[:, 0]),
+                         "doc_b": pa.array(uniq[:, 1])})
+
+    pairs = (sigs.map_batches(prefix_rows, batch_format="pyarrow")
+             .map_batches(add_part, batch_format="pyarrow")
+             .groupby("__part").map_groups(part_pairs,
+                                           batch_format="pyarrow"))
+    pairs = pairs.map_batches(
+        lambda t: t.append_column("one", pa.array(
+            np.ones(len(t), dtype=np.int64))),
+        batch_format="pyarrow")
+    pairs = hash_shuffle_aggregate(pairs, ["doc_a", "doc_b"],
+                                   [("one", "min")], num_buckets=16)
+    pairs = pairs.drop_columns(["one"]).materialize()
+    return _verify_pairs(pairs, lambda: sigs, jaccard_threshold)
 
 
 def _jaccard_texts(a: str, b: str) -> float:

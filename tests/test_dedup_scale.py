@@ -217,3 +217,92 @@ def test_simhash_pairs_match_bruteforce(ray_session):
     truth = set(zip(np.minimum(ids[i][m], ids[j][m]),
                     np.maximum(ids[i][m], ids[j][m]), ham[m]))
     assert got_set == truth
+
+
+def test_ngram_jaccard_pairs_complete(ray_session):
+    """Prefix-filter join must return EVERY pair >= threshold (no LSH
+    miss probability), with exact unrounded jaccard values."""
+    import ray.data as rd
+
+    from proj_ray.stages.dedup import _jaccard_texts, ngram_jaccard_pairs
+
+    docs = rd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "text"])
+    got = ngram_jaccard_pairs(docs, jaccard_threshold=0.8)
+
+    t = pq.read_table(f"{SF}/documents.parquet")
+    ids = t["doc_id"].to_pylist()
+    txt = t["text"].to_pylist()
+    truth = {}
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            jac = _jaccard_texts(txt[i], txt[j])
+            if jac >= 0.8:
+                truth[tuple(sorted((ids[i], ids[j])))] = jac
+    got_pairs = {(a, b): j for a, b, j in
+                 zip(got["doc_a"], got["doc_b"], got["jaccard"])}
+    assert set(got_pairs) == set(truth)
+    for k, jac in truth.items():
+        assert got_pairs[k] == jac  # bit-identical double division
+
+
+def test_verify_pairs_shuffle_path_partitions_exceed_pairs(
+        ray_session, monkeypatch):
+    """The r2 driver crash: Dataset.join with more hash partitions than
+    pair rows -> empty Acero partition -> ArrowInvalid.  Force the
+    shuffle-join fallback on a tiny pair stream and require it to
+    survive num_partitions > n_pairs."""
+    import ray.data as rd
+
+    import proj_ray.stages.dedup as dd
+
+    monkeypatch.setattr(dd, "_BROADCAST_PAIR_LIMIT", 0)  # force shuffle
+    monkeypatch.setattr(dd, "_join_partitions", lambda: 16)
+    docs = rd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "text"])
+    got = dd.minhash_lsh_pairs(docs, jaccard_threshold=0.7)
+    got_pairs = set(zip(got["doc_a"], got["doc_b"]))
+
+    t = pq.read_table(f"{SF}/documents.parquet")
+    ids, txt = t["doc_id"].to_pylist(), t["text"].to_pylist()
+    truth = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if dd._jaccard_texts(txt[i], txt[j]) >= 0.7:
+                truth.add(tuple(sorted((ids[i], ids[j]))))
+    assert got_pairs == truth
+
+
+def test_empty_batch_schema_stability():
+    """All-miss batches must emit empty tables whose column types match
+    the non-empty stream (r2 latent bug: hard-coded doc_id: string
+    empties against int64 streams)."""
+    from proj_ray.spatial.join import rect_join_batch
+    from proj_ray.spatial.knn import BruteKNNJoiner
+
+    batch = pa.table({
+        "doc_id": pa.array([1, 2], type=pa.int64()),
+        "offset": pa.array([0, 1], type=pa.int32()),
+        "lon": pa.array([170.0, 171.0]),
+        "lat": pa.array([-80.0, -81.0]),
+    })
+    rects = {"rect_id": np.array([7], dtype=np.int64),
+             "lon_min": np.array([0.0]), "lon_max": np.array([1.0]),
+             "lat_min": np.array([0.0]), "lat_max": np.array([1.0])}
+    miss = rect_join_batch(batch, rects)
+    assert miss.num_rows == 0
+    assert miss.schema.field("doc_id").type == pa.int64()
+    assert miss.schema.field("off").type == pa.int32()
+
+    hit_rects = {"rect_id": np.array([7], dtype=np.int64),
+                 "lon_min": np.array([169.0]), "lon_max": np.array([172.0]),
+                 "lat_min": np.array([-82.0]), "lat_max": np.array([-79.0])}
+    hit = rect_join_batch(batch, hit_rects)
+    assert hit.schema == miss.schema
+
+    joiner = BruteKNNJoiner.__new__(BruteKNNJoiner)
+    empty_in = batch.slice(0, 0)
+    out = joiner(empty_in)
+    assert out.num_rows == 0
+    assert out.schema.field("doc_id").type == pa.int64()
+    assert out.schema.field("off").type == pa.int32()
