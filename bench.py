@@ -47,6 +47,7 @@ QUERY_NAMES = [
     "lineitem_agg",
     "hgridshift_synth",
     "minhash_pairs",
+    "ngram_jaccard",
     "simhash_pairs",
     "ann_ivf",
     "embedding_near_dup",

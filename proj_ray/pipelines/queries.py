@@ -712,18 +712,31 @@ SELECT md5(text) AS h, MIN(doc_id) AS doc_id
 FROM documents GROUP BY md5(text)"""
 
 
+def _pick_query_vectors(sf_dir: str, n: int = 8) -> dict:
+    """The n probe vectors, with the predicate pushed INTO the parquet
+    read (row-group pruning + scan filter) — never a full-table pull to
+    the driver; only the n matching rows leave the read tasks."""
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    qds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"],
+                          filter=(pads.field("vec_id") < n))
+    qdf = qds.to_pandas()  # bounded: n rows by construction
+    qdf = qdf.sort_values("vec_id").reset_index(drop=True)
+    return {
+        "query_id": qdf["vec_id"].to_numpy(),
+        "embedding": np.vstack(qdf["embedding"].to_numpy()),
+    }
+
+
 def q_ann_topk(sf_dir: str):
     import ray.data as rd
 
     from proj_ray.stages.ann import ann_brute_topk
 
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
-    qdf = ds.to_pandas()
-    qdf = qdf[qdf["vec_id"] < 8]
-    queries = {
-        "query_id": qdf["vec_id"].to_numpy(),
-        "embedding": np.vstack(qdf["embedding"].to_numpy()),
-    }
+    queries = _pick_query_vectors(sf_dir)
     out = ann_brute_topk(ds, queries, k=5)
     return out.map_batches(
         lambda df: df.assign(cosine=np.round(df["cosine"], 6))[
@@ -1078,12 +1091,7 @@ def q_ann_ivf(sf_dir: str):
     from proj_ray.stages.ann import ann_ivf_topk
 
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
-    qdf = ds.to_pandas()
-    qdf = qdf[qdf["vec_id"] < 8]
-    queries = {
-        "query_id": qdf["vec_id"].to_numpy(),
-        "embedding": np.vstack(qdf["embedding"].to_numpy()),
-    }
+    queries = _pick_query_vectors(sf_dir)
     return ann_ivf_topk(ds, queries, k=5)
 
 

@@ -61,23 +61,41 @@ def _join_partitions(cap: int = 16) -> int:
     return max(2, min(cap, cpus // 2))
 
 
-def text_md5_batch(batch: pd.DataFrame) -> pd.DataFrame:
-    batch["h"] = [hashlib.md5(t.encode()).hexdigest()
-                  for t in batch["text"].fillna("")]
-    return batch[["doc_id", "h"]]
+def text_md5_batch(batch: pa.Table) -> pa.Table:
+    """md5 hex per document, hashed straight off the Arrow string
+    buffer (memoryview slices — no per-row Python string / .encode()
+    materialization; md5 is the oracle contract, so the digest loop
+    itself stays, reduced to one C call per doc)."""
+    import pyarrow.compute as pc
+
+    from proj_ray.stages.hashing import arrow_string_bytes
+
+    col = batch.column("text")
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    col = pc.fill_null(col, "")
+    data, off = arrow_string_bytes(col)
+    mv = memoryview(data)
+    md5 = hashlib.md5
+    h = [md5(mv[off[i]:off[i + 1]]).hexdigest()
+         for i in range(len(off) - 1)]
+    return pa.table({"doc_id": batch.column("doc_id"),
+                     "h": pa.array(h, type=pa.string())})
 
 
-def exact_dedup(docs_ds):
+def exact_dedup(docs_ds, num_buckets: int = 16):
     """Exact dedup: keep the min doc_id per content hash.
 
     Content-hash cardinality is unbounded (one key per distinct doc), so
     this uses the hash-partitioned aggregate — per-block combine, then a
-    shuffle into independent hash buckets, one exact combine each."""
+    shuffle into independent hash buckets, one exact combine each.
+    `num_buckets` bounds per-bucket combine memory at scale; raise it
+    for larger corpora (buckets are independent tasks)."""
     from proj_ray.stages.agg import hash_shuffle_aggregate
 
-    hashed = docs_ds.map_batches(text_md5_batch, batch_format="pandas")
+    hashed = docs_ds.map_batches(text_md5_batch, batch_format="pyarrow")
     return hash_shuffle_aggregate(hashed, ["h"], [("doc_id", "min")],
-                                  num_buckets=32)
+                                  num_buckets=num_buckets)
 
 
 # --------------------------- MinHash / LSH ---------------------------------
@@ -214,6 +232,12 @@ def pair_jaccard(list_a, list_b) -> np.ndarray:
 # back to the doc_id-keyed hash shuffle join.
 _BROADCAST_PAIR_LIMIT = 2_000_000
 _BROADCAST_DOC_LIMIT = 100_000
+
+# Dense-vocabulary gate for ngram_jaccard_pairs: switch to broadcast
+# packed-bitset verification when the whole corpus vocabulary fits a
+# small bitset AND the packed signature table fits a broadcast.
+_DENSE_VOCAB_MAX = 1 << 16       # <= 65,536 distinct shingles (8 KB/doc)
+_DENSE_SIG_BYTES = 256 << 20     # packed table cap: 256 MB
 
 
 def _verify_pairs(pairs, sigs_src, jaccard_threshold: float):
@@ -444,7 +468,24 @@ def ngram_jaccard_pairs(docs_ds, jaccard_threshold: float = 0.8,
        prefix);
     4. candidates pass the size-ratio filter (min(s)/max(s) >= t is
        necessary for J >= t) before the exact-Jaccard verify shared
-       with MinHash (`_verify_pairs`)."""
+       with MinHash (`_verify_pairs`).
+
+    DENSE-VOCABULARY REGIME: prefix filtering assumes vocab >> docs, so
+    rare shingles separate documents.  When the global df table shows
+    the opposite (vocab << docs — templated/synthetic corpora), every
+    prefix run is huge and the candidate stream degenerates toward
+    all-pairs (measured at sf0.1: 985-shingle vocab over 5,000 docs ->
+    29 M candidate occurrences for 256 true pairs; the generic merge
+    verify then lexsorts ~1.6 G elements and never finishes).  The
+    vocab size is known exactly after step (2), so in that regime the
+    join switches shape: each doc's shingle set packs into a V-bit
+    bitset (vocab-indexed uint64 words), the whole packed signature
+    table broadcasts once (n_docs x V/8 bytes — the gate checks it
+    fits), and candidates are verified INLINE in the generation
+    partition with vectorized AND+popcount.  Only true pairs ever leave
+    the partition — no candidate shuffle, no merge sort.  Completeness
+    is unchanged: the same prefix-filter candidate set is enumerated,
+    each candidate just meets its exact Jaccard immediately."""
     import ray
 
     from proj_ray.stages.agg import hash_shuffle_aggregate
@@ -483,7 +524,14 @@ def ngram_jaccard_pairs(docs_ds, jaccard_threshold: float = 0.8,
     fvals = freq_tbl.column("shingle").to_numpy(zero_copy_only=False)
     fcnts = freq_tbl.column("df").to_numpy(zero_copy_only=False)
     forder = np.argsort(fvals)
-    freq_ref = ray.put((fvals[forder], fcnts[forder]))
+    fvals, fcnts = fvals[forder], fcnts[forder]
+    freq_ref = ray.put((fvals, fcnts))
+
+    vocab = len(fvals)
+    words = (vocab + 63) >> 6
+    n_docs = sigs.count()
+    dense = (vocab <= _DENSE_VOCAB_MAX
+             and n_docs * words * 8 <= _DENSE_SIG_BYTES)
 
     # (3) prefix emission: rank each doc's shingles rarest-first and
     # keep the first p = s - ceil(t*s) + 1
@@ -515,6 +563,120 @@ def ngram_jaccard_pairs(docs_ds, jaccard_threshold: float = 0.8,
         part = ((s * _MIX) % np.uint64(num_parts)).astype(np.int64)
         return t.append_column("__part", pa.array(part))
 
+    prefix = (sigs.map_batches(prefix_rows, batch_format="pyarrow")
+              .map_batches(add_part, batch_format="pyarrow"))
+
+    if dense:
+        # ---- dense regime: broadcast packed bitsets, verify inline ----
+        vocab_ref = ray.put(fvals)
+
+        def pack_batch(t: pa.Table) -> pa.Table:
+            uv = get_broadcast(vocab_ref)
+            vals, off = _binary_int64_segments(t.column("shingles"))
+            n = len(off) - 1
+            counts = np.diff(off)
+            mat = np.zeros((n, words), dtype=np.uint64)
+            row = np.repeat(np.arange(n, dtype=np.int64), counts)
+            col = np.searchsorted(uv, vals)
+            np.bitwise_or.at(
+                mat, (row, col >> 6),
+                np.uint64(1) << (col & 63).astype(np.uint64))
+            blob = pa.FixedSizeBinaryArray.from_buffers(
+                pa.binary(words * 8), n,
+                [None, pa.py_buffer(np.ascontiguousarray(mat).tobytes())])
+            return pa.table({"doc_id": t.column("doc_id"),
+                             "packed": blob,
+                             "nsh": pa.array(counts)})
+
+        ptbl = pa.concat_tables(
+            ray.get(sigs.map_batches(pack_batch, batch_format="pyarrow")
+                    .to_arrow_refs()),
+            promote_options="default").combine_chunks()
+        ids_g = ptbl.column("doc_id").to_numpy(zero_copy_only=False)
+        pcol = ptbl.column("packed")
+        if isinstance(pcol, pa.ChunkedArray):
+            pcol = pcol.combine_chunks()
+        mat_g = np.frombuffer(
+            pcol.buffers()[1], dtype=np.uint64,
+            count=len(pcol) * words,
+            offset=pcol.offset * words * 8).reshape(-1, words)
+        sz_g = ptbl.column("nsh").to_numpy(zero_copy_only=False)
+        gorder = np.argsort(ids_g)
+        pack_ref = ray.put((ids_g[gorder],
+                            np.ascontiguousarray(mat_g[gorder]),
+                            sz_g[gorder]))
+
+        def part_pairs_dense(t: pa.Table) -> pa.Table:
+            from proj_ray.stages.hashing import popcount64
+
+            empty = pa.table({"doc_a": pa.array([], type=pa.int64()),
+                              "doc_b": pa.array([], type=pa.int64()),
+                              "jaccard": pa.array([], type=pa.float64())})
+            sh = t.column("shingle").to_numpy(zero_copy_only=False)
+            doc = t.column("doc_id").to_numpy(zero_copy_only=False)
+            nsh = t.column("nsh").to_numpy(zero_copy_only=False)
+            order = np.lexsort((doc, sh))
+            sh, doc, nsh = sh[order], doc[order], nsh[order]
+            n = len(doc)
+            if n < 2:
+                return empty
+            all_ids, all_mat, all_sz = get_broadcast(pack_ref)
+            new_run = np.empty(n, dtype=bool)
+            new_run[0] = True
+            new_run[1:] = sh[1:] != sh[:-1]
+            starts = np.flatnonzero(new_run)
+            lens = np.diff(np.append(starts, n))
+            out_a, out_b, out_j = [], [], []
+            for ri in np.flatnonzero(lens >= 2):
+                s0, ln = starts[ri], lens[ri]
+                ids, sz = doc[s0:s0 + ln], nsh[s0:s0 + ln]
+                uniq, first = np.unique(ids, return_index=True)
+                if len(uniq) < 2:
+                    continue
+                sz = sz[first]
+                i, j = np.triu_indices(len(uniq), 1)
+                ok = np.minimum(sz[i], sz[j]) \
+                    >= jaccard_threshold * np.maximum(sz[i], sz[j])
+                if not ok.any():
+                    continue
+                i, j = i[ok], j[ok]
+                rows = np.searchsorted(all_ids, uniq)
+                inter = popcount64(
+                    all_mat[rows[i]] & all_mat[rows[j]]).reshape(
+                        len(i), words).sum(axis=1)
+                union = sz[i] + sz[j] - inter
+                jac = inter / union
+                keep = jac >= jaccard_threshold
+                if keep.any():
+                    out_a.append(uniq[i[keep]])
+                    out_b.append(uniq[j[keep]])
+                    out_j.append(jac[keep])
+            if not out_a:
+                return empty
+            a = np.concatenate(out_a)
+            b = np.concatenate(out_b)
+            jc = np.concatenate(out_j)
+            # dedupe pairs found via several shingles in this partition
+            key = np.stack([a, b], axis=1)
+            _, first = np.unique(key, axis=0, return_index=True)
+            return pa.table({"doc_a": pa.array(a[first]),
+                             "doc_b": pa.array(b[first]),
+                             "jaccard": pa.array(jc[first])})
+
+        verified = prefix.groupby("__part").map_groups(
+            part_pairs_dense, batch_format="pyarrow")
+        verified = hash_shuffle_aggregate(
+            verified, ["doc_a", "doc_b"], [("jaccard", "max")],
+            num_buckets=8)
+        df = verified.to_pandas()
+        if df.empty:
+            return pd.DataFrame({
+                "doc_a": pd.Series([], dtype="int64"),
+                "doc_b": pd.Series([], dtype="int64"),
+                "jaccard": pd.Series([], dtype="float64")})
+        return df.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+    # ---- sparse regime: candidate shuffle + shared merge verify ----
     def part_pairs(t: pa.Table) -> pa.Table:
         sh = t.column("shingle").to_numpy(zero_copy_only=False)
         doc = t.column("doc_id").to_numpy(zero_copy_only=False)
@@ -554,10 +716,8 @@ def ngram_jaccard_pairs(docs_ds, jaccard_threshold: float = 0.8,
         return pa.table({"doc_a": pa.array(uniq[:, 0]),
                          "doc_b": pa.array(uniq[:, 1])})
 
-    pairs = (sigs.map_batches(prefix_rows, batch_format="pyarrow")
-             .map_batches(add_part, batch_format="pyarrow")
-             .groupby("__part").map_groups(part_pairs,
-                                           batch_format="pyarrow"))
+    pairs = prefix.groupby("__part").map_groups(part_pairs,
+                                                batch_format="pyarrow")
     pairs = pairs.map_batches(
         lambda t: t.append_column("one", pa.array(
             np.ones(len(t), dtype=np.int64))),
@@ -735,77 +895,114 @@ def auto_lsh_params(threshold: float, target_recall: float = 0.99,
     return min(max(n_bands, 4), max_bands), band_bits
 
 
-class _HyperplaneBander:
-    """Actor-pool stage: project embeddings on fixed random hyperplanes,
-    emit (band, key, vec_id, embedding) rows for the bucket shuffle."""
+_PLANE_CACHE: Dict[Tuple[int, int, int, int], np.ndarray] = {}
 
-    def __init__(self, n_bands: int, band_bits: int, seed: int = 5):
-        self.n_bands = n_bands
-        self.band_bits = band_bits
-        self.seed = seed
-        self.planes = None  # lazily sized from the first batch's dim
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        emb_col = batch.column("embedding")
-        if isinstance(emb_col, pa.ChunkedArray):
-            emb_col = emb_col.combine_chunks()
-        emb = _list_matrix(emb_col)
-        if self.planes is None:
-            rng = np.random.default_rng(self.seed)
-            self.planes = rng.standard_normal(
-                (emb.shape[1], self.n_bands * self.band_bits))
-        bits = (emb @ self.planes) >= 0  # (n, n_bands*band_bits)
-        n = len(emb)
-        weights = (1 << np.arange(self.band_bits, dtype=np.int64))
-        keys = bits.reshape(n, self.n_bands, self.band_bits) @ weights
-        vid = batch.column("vec_id").to_numpy(zero_copy_only=False)
-        idx = np.tile(np.arange(n, dtype=np.int64), self.n_bands)
-        return pa.table({
-            "band": pa.array(np.repeat(
-                np.arange(self.n_bands, dtype=np.int64), n)),
-            "key": pa.array(keys.T.reshape(-1)),
-            "vec_id": pa.array(np.tile(vid, self.n_bands)),
-            "embedding": emb_col.take(pa.array(idx)),
-        })
+def _hyperplanes(dim: int, n_bands: int, band_bits: int,
+                 seed: int) -> np.ndarray:
+    """Deterministic random hyperplanes, cached per worker process —
+    every task derives the same planes from the seed, so the stage can
+    run as an uncapped task pool (no actor-pool spin-up, no broadcast)."""
+    key = (dim, n_bands, band_bits, seed)
+    planes = _PLANE_CACHE.get(key)
+    if planes is None:
+        rng = np.random.default_rng(seed)
+        planes = rng.standard_normal((dim, n_bands * band_bits))
+        _PLANE_CACHE[key] = planes
+    return planes
 
 
 def embedding_near_dup(emb_ds, threshold: float = 0.95,
-                       concurrency: int = 2, seed: int = 5):
+                       concurrency: int = 0, seed: int = 5,
+                       num_parts: int = 32):
     """Cosine near-duplicate pairs via hyperplane-LSH bucketing.
 
     Scale shape: vectors are EXPLODED to (band, key) bucket rows (a
     hash shuffle — ~n_bands x the vector payload, each bucket holding
-    only its own vectors), exact cosine runs inside each bucket, and a
+    only its own vectors), the tens of thousands of tiny buckets are
+    shuffled into `num_parts` COARSE partitions (one pandas group per
+    bucket would pay per-group overhead — the r1 MinHash lesson), exact
+    cosine runs per equal-(band,key) run inside each partition, and a
     final small aggregate dedupes pairs found by several bands.  No
     whole-corpus broadcast or driver materialization; recall at the
-    threshold boundary is ~99% by construction (auto_lsh_params)."""
+    threshold boundary is ~99% by construction (auto_lsh_params).
+
+    `concurrency` is accepted for API compatibility and ignored: the
+    banding stage is a stateless task pool (planes are derived
+    deterministically from the seed and cached per worker)."""
     from proj_ray.stages.agg import hash_shuffle_aggregate
 
     n_bands, band_bits = auto_lsh_params(threshold)
-    banded = emb_ds.map_batches(
-        _HyperplaneBander,
-        fn_constructor_args=(n_bands, band_bits, seed),
-        batch_format="pyarrow", concurrency=concurrency)
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({
-                "vec_a": pd.Series([], dtype="int64"),
-                "vec_b": pd.Series([], dtype="int64"),
-                "cosine": pd.Series([], dtype="float64")})
-        ids = g["vec_id"].to_numpy()
-        order = np.argsort(ids)
-        ids = ids[order]
-        mat = np.vstack(g["embedding"].to_numpy()[order]).astype(np.float64)
-        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-        sims = mat @ mat.T
-        i, j = np.triu_indices(len(ids), 1)
-        keep = (sims[i, j] >= threshold) & (ids[i] != ids[j])
-        return pd.DataFrame({"vec_a": ids[i][keep], "vec_b": ids[j][keep],
-                             "cosine": np.round(sims[i, j][keep], 9)})
+    def band_rows(batch: pa.Table) -> pa.Table:
+        emb_col = batch.column("embedding")
+        if isinstance(emb_col, pa.ChunkedArray):
+            emb_col = emb_col.combine_chunks()
+        emb = _list_matrix(emb_col)
+        planes = _hyperplanes(emb.shape[1], n_bands, band_bits, seed)
+        bits = (emb @ planes) >= 0  # (n, n_bands*band_bits)
+        n = len(emb)
+        weights = (1 << np.arange(band_bits, dtype=np.int64))
+        keys = bits.reshape(n, n_bands, band_bits) @ weights
+        band = np.repeat(np.arange(n_bands, dtype=np.int64), n)
+        key = keys.T.reshape(-1)
+        part = (((key.astype(np.uint64) + np.uint64(1)) * _MIX
+                 + band.astype(np.uint64))
+                % np.uint64(num_parts)).astype(np.int64)
+        idx = np.tile(np.arange(n, dtype=np.int64), n_bands)
+        return pa.table({
+            "band": pa.array(band),
+            "key": pa.array(key),
+            "vec_id": pa.array(np.tile(
+                batch.column("vec_id").to_numpy(zero_copy_only=False),
+                n_bands)),
+            "embedding": emb_col.take(pa.array(idx)),
+            "__part": pa.array(part),
+        })
 
-    pairs = banded.groupby(["band", "key"]).map_groups(
-        bucket_pairs, batch_format="pandas")
+    def part_pairs(t: pa.Table) -> pa.Table:
+        empty = pa.table({"vec_a": pa.array([], type=pa.int64()),
+                          "vec_b": pa.array([], type=pa.int64()),
+                          "cosine": pa.array([], type=pa.float64())})
+        n = len(t)
+        if n < 2:
+            return empty
+        band = t.column("band").to_numpy(zero_copy_only=False)
+        key = t.column("key").to_numpy(zero_copy_only=False)
+        ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+        emb_col = t.column("embedding")
+        if isinstance(emb_col, pa.ChunkedArray):
+            emb_col = emb_col.combine_chunks()
+        mat = _list_matrix(emb_col).astype(np.float64)
+        order = np.lexsort((ids, key, band))
+        band, key, ids = band[order], key[order], ids[order]
+        mat = mat[order]
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True)  # once per part
+        new_run = np.empty(n, dtype=bool)
+        new_run[0] = True
+        new_run[1:] = (band[1:] != band[:-1]) | (key[1:] != key[:-1])
+        starts = np.flatnonzero(new_run)
+        lens = np.diff(np.append(starts, n))
+        out_a, out_b, out_c = [], [], []
+        for ri in np.flatnonzero(lens >= 2):
+            s, ln = starts[ri], lens[ri]
+            rid = ids[s:s + ln]
+            sims = mat[s:s + ln] @ mat[s:s + ln].T
+            i, j = np.triu_indices(ln, 1)
+            keep = (sims[i, j] >= threshold) & (rid[i] != rid[j])
+            if keep.any():
+                out_a.append(np.minimum(rid[i][keep], rid[j][keep]))
+                out_b.append(np.maximum(rid[i][keep], rid[j][keep]))
+                out_c.append(np.round(sims[i, j][keep], 9))
+        if not out_a:
+            return empty
+        return pa.table({"vec_a": pa.array(np.concatenate(out_a)),
+                         "vec_b": pa.array(np.concatenate(out_b)),
+                         "cosine": pa.array(np.concatenate(out_c))})
+
+    pairs = (emb_ds.map_batches(band_rows, batch_format="pyarrow")
+             .groupby("__part").map_groups(part_pairs,
+                                           batch_format="pyarrow"))
     deduped = hash_shuffle_aggregate(pairs, ["vec_a", "vec_b"],
                                      [("cosine", "max")], num_buckets=16)
     return deduped

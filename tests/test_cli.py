@@ -51,3 +51,46 @@ def test_cs2cs_plus_to_syntax():
               "+proj=utm", "+zone=32", "+ellps=WGS84"], "9 45 0\n")
     x = float(r.stdout.split()[0])
     assert abs(x - 500000.0) < 0.01
+
+
+def test_geod_forward_manual_example():
+    # reference manual (docs/source/apps/geod.rst): Boston -> Portland
+    # by azimuth and distance, clrk66 in US statute miles
+    r = _run(["geod", "+ellps=clrk66", "+units=us-mi"],
+             "42d15'N 71d07'W -66d31'50.141\" 2587.504\n")
+    assert r.returncode == 0
+    assert r.stdout.split() == [
+        '45d31\'0.003"N', '123d40\'59.985"W', '75d39\'13.094"']
+
+
+def test_geod_inverse_manual_example():
+    r = _run(["geod", "-I", "+ellps=clrk66", "+units=us-mi"],
+             "42d15'N 71d07'W 45d31'N 123d41'W\n")
+    assert r.returncode == 0
+    assert r.stdout.split() == [
+        "-66d31'50.141\"", "75d39'13.083\"", "2587.504"]
+
+
+def test_geod_fullout_decimal_and_posazi():
+    r = _run(["geod", "-I", "-a", "-p", "-f", "%.6f", "+ellps=WGS84"],
+             "40.0 -70.0 45.0 -120.0\n")
+    vals = r.stdout.split()
+    assert len(vals) == 7
+    assert float(vals[0]) == 40.0 and float(vals[1]) == -70.0
+    azi12, azi21 = float(vals[4]), float(vals[5])
+    assert 0 <= azi12 < 360 and 0 <= azi21 < 360  # -p positive azimuths
+    # distance sanity: ~4100 km for 50 deg of longitude at mid-latitudes
+    assert 3.9e6 < float(vals[6]) < 4.4e6
+
+
+def test_geod_line_mode_intermediate_points():
+    # n_S=4 between two points: 5 output rows, first/last are the
+    # endpoints (do_geod semantics)
+    r = _run(["geod", "-f", "%.6f", "+ellps=WGS84", "+lat_1=40",
+              "+lon_1=-70", "+lat_2=45", "+lon_2=-120", "+n_S=4"])
+    lines = r.stdout.strip().splitlines()
+    assert len(lines) == 5
+    first = [float(v) for v in lines[0].split()]
+    last = [float(v) for v in lines[-1].split()]
+    assert first == [40.0, -70.0]
+    assert abs(last[0] - 45.0) < 1e-6 and abs(last[1] + 120.0) < 1e-6
