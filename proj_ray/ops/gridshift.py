@@ -50,6 +50,24 @@ _RENAMES = {
 }
 
 
+_NOW_DECIMAL_YEAR: float = 0.0
+
+
+def _now_decimal_year() -> float:
+    """Decimal year for +t_final=now (vgridshift.cpp:186-192: 1900 +
+    tm_year + tm_yday/365 with C's 0-based tm_yday; Python's tm_yday is
+    1-based).  Resolved once per process and cached so every pipeline
+    built in this process — and every worker a built operator is pickled
+    to — shares one epoch even across a midnight boundary."""
+    global _NOW_DECIMAL_YEAR
+    if _NOW_DECIMAL_YEAR == 0.0:
+        import time
+
+        now = time.localtime()
+        _NOW_DECIMAL_YEAR = now.tm_year + (now.tm_yday - 1) / 365.0
+    return _NOW_DECIMAL_YEAR
+
+
 def resolve_grid_path(name: str):
     cands = []
     if name in _RENAMES:
@@ -414,12 +432,7 @@ class _GridShiftBase(Operation):
                 self.t_final = float(raw)
             except (TypeError, ValueError):
                 if raw == "now":
-                    import time
-
-                    now = time.localtime()
-                    # reference: 1900 + tm_year + tm_yday/365 (tm_year is
-                    # years since 1900; Python's is the full year)
-                    self.t_final = now.tm_year + now.tm_yday / 365.0
+                    self.t_final = _now_decimal_year()
         # fail fast on unresolvable specs (reference errors at init too)
         if not validate_grid_spec(spec, vertical=self.vertical):
             raise ProjError(f"unknown or unsupported grid format: {spec!r} "

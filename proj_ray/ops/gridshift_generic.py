@@ -19,7 +19,8 @@ from typing import List, Optional
 
 import numpy as np
 
-from proj_ray.core.coords import (Coords, ERR_OUTSIDE_DOMAIN)
+from proj_ray.core.coords import (Coords, ERR_NO_CONVERGENCE,
+                                  ERR_OUTSIDE_DOMAIN)
 from proj_ray.ops.base import (CARTESIAN, RADIANS, Operation, Params,
                                ProjError, register)
 from proj_ray.ops.geotiff import GTiffGrid, TiffError, read_geotiff
@@ -256,11 +257,12 @@ class GridShift(Operation):
 
         self.gridsets = load_generic_gridsets(spec)
         self._classify()
-        geographic = True
-        for gs in self.gridsets:
-            for g in gs:
-                if isinstance(g, GTiffGrid):
-                    geographic = g.geographic
+        flags = {g.geographic for gs in self.gridsets for g in gs
+                 if isinstance(g, GTiffGrid)}
+        if len(flags) > 1:
+            raise ProjError("gridshift: grids mix geographic and projected "
+                            "coordinate conventions")
+        geographic = flags.pop() if flags else True
         self.left = RADIANS if geographic else CARTESIAN
         self.right = self.left
         self._chans = {}
@@ -384,6 +386,7 @@ class GridShift(Operation):
                                           x[miss], y[miss])
                 fsel[miss] = fs
         bad = (sel < 0) & (fsel < 0)
+        noconv = np.zeros(len(x), dtype=bool)
 
         out_x = x.copy()
         out_y = y.copy()
@@ -400,14 +403,17 @@ class GridShift(Operation):
                 ch = self._chan(g, ptype)
                 vo = vertical_only or (ptype != "HORIZONTAL_OFFSET"
                                        and ptype != "GEOGRAPHIC_3D_OFFSET")
-                ox, oy, oz, ok = self._apply_one(
+                ox, oy, oz, ok, nc = self._apply_one(
                     g, ch, vo, x[mask], y[mask], z[mask], fwd)
                 out_x[mask] = ox
                 out_y[mask] = oy
                 out_z[mask] = oz
-                b = np.flatnonzero(mask)[~ok]
-                bad[b] = True
-        c.set_error(bad, ERR_OUTSIDE_DOMAIN)
+                idx = np.flatnonzero(mask)
+                bad[idx[~ok]] = True
+                noconv[idx[nc]] = True
+        c.set_error(bad & ~noconv, ERR_OUTSIDE_DOMAIN)
+        c.set_error(noconv, ERR_NO_CONVERGENCE)
+        bad |= noconv
         c.x = np.where(bad, np.nan, out_x)
         c.y = np.where(bad, np.nan, out_y)
         c.z = np.where(bad, np.nan, out_z)
@@ -416,10 +422,11 @@ class GridShift(Operation):
                    x, y, z, fwd: bool):
         nx = _normalize_x(g, x)
         sx, sy, sz, ok = _grid_interpolate(g, ch, nx, y)
+        nc = np.zeros(len(x), dtype=bool)
         if fwd:
-            return x + sx, y + sy, z + sz, ok
+            return x + sx, y + sy, z + sz, ok, nc
         if vertical_only:
-            return x, y, z - sz, ok
+            return x, y, z - sz, ok, nc
         gx = nx - sx
         gy = y - sy
         if ch.bilinear:
@@ -441,11 +448,18 @@ class GridShift(Operation):
                 done = (dx * dx + dy * dy <= TOL * TOL) | ~ok2
                 idx = np.flatnonzero(live)[done]
                 live[idx] = False
-            sz_final = _grid_interpolate(g, ch, gx, gy)[2]
-            sz = np.where(np.isfinite(sz_final), sz_final, sz)
+            # iteration exhaustion = PROJ_ERR_COORD_TRANSFM_NO_CONVERGENCE
+            # (gridshift.cpp:699-707)
+            nc = live & ok
+            # z-shift resampled at the converged guess; an off-grid final
+            # sample keeps the first approximation (gridshift.cpp:708-718) —
+            # decided by the sample's validity mask, not isfinite (invalid
+            # samples are zeroed, hence always finite)
+            sz_final, okf = _grid_interpolate(g, ch, gx, gy)[2:4]
+            sz = np.where(okf, sz_final, sz)
         if g.geographic:
             gx = _adjlon(gx)
-        return gx, gy, z - sz, ok
+        return gx, gy, z - sz, ok, nc
 
     def _run(self, c: Coords, fwd: bool) -> None:
         if not fwd:

@@ -53,7 +53,12 @@ class Candidate:
         self.priority = bool(priority)
         self.unknown_area = bool(unknown_area)
         sx = self.bbox_src
-        self.pseudo_area = (sx[2] - sx[0]) * (sx[3] - sx[1])
+        # antimeridian-crossing area of use (west > east, e.g. Fiji/NZ):
+        # width wraps by +360 (4D_api.cpp:1714-1716: `if (w > e) e += 2*PI`)
+        width = sx[2] - sx[0]
+        if width < 0:
+            width += 360.0
+        self.pseudo_area = width * (sx[3] - sx[1])
         self.needs_grids = any(p in defn for p in _GRID_PARAMS)
         self._pipeline = None
 
@@ -94,9 +99,16 @@ class AltOperation:
         xn = _normalize_lon(x) if angular else x
         for i, alt in enumerate(self.candidates):
             bbox = alt.bbox_dst if inverse else alt.bbox_src
+            if bbox[0] > bbox[2]:
+                # antimeridian-crossing area of use: inside = west OR east
+                # of the wrap (cf. 4D_api.cpp bbox registration, w>e case)
+                def _lon_in(v):
+                    return (v >= bbox[0]) | (v <= bbox[2])
+            else:
+                def _lon_in(v):
+                    return (v >= bbox[0]) & (v <= bbox[2])
             inside = (y >= bbox[1]) & (y <= bbox[3]) \
-                & (((x >= bbox[0]) & (x <= bbox[2]))
-                   | (angular & (xn >= bbox[0]) & (xn <= bbox[2])))
+                & (_lon_in(x) | (angular & _lon_in(xn)))
             ok = inside & (excluded[:, 0] != i) & (excluded[:, 1] != i)
             first = ok & (best < 0)
             better_acc = ok & (alt.accuracy >= 0) & (alt.accuracy < best_acc)

@@ -135,16 +135,31 @@ def band_keys(sig: np.ndarray, n_bands: int = _N_BANDS) -> np.ndarray:
     return out
 
 
-def minhash_bands_batch(batch: pa.Table) -> pa.Table:
+def minhash_banding(jaccard_threshold: float) -> int:
+    """Pick n_bands (of the 64 permutations) whose S-curve midpoint
+    (1/b)^(1/r) sits highest while staying at or below the requested
+    threshold — mirroring how auto_lsh_params sizes the cosine LSH.
+    Midpoints: b=4→0.917, 8→0.771, 16→0.5, 32→0.177, 64→0.016."""
+    best = 64
+    for b in (4, 8, 16, 32, 64):
+        r = _N_PERM // b
+        if (1.0 / b) ** (1.0 / r) <= jaccard_threshold:
+            best = b
+            break
+    return best
+
+
+def minhash_bands_batch(batch: pa.Table,
+                        n_bands: int = _N_BANDS) -> pa.Table:
     """Emit (band_id, band_hash, doc_id) rows (the LSH explode)."""
     sig = minhash_signatures(batch.column("text"))
-    keys = band_keys(sig)
+    keys = band_keys(sig, n_bands)
     n = len(sig)
     doc = batch.column("doc_id").to_numpy(zero_copy_only=False)
     return pa.table({
-        "band_id": pa.array(np.tile(np.arange(_N_BANDS, dtype=np.int64), n)),
+        "band_id": pa.array(np.tile(np.arange(n_bands, dtype=np.int64), n)),
         "band_hash": pa.array(keys.reshape(-1)),
-        "doc_id": pa.array(np.repeat(doc, _N_BANDS)),
+        "doc_id": pa.array(np.repeat(doc, n_bands)),
     })
 
 
@@ -361,14 +376,19 @@ def minhash_lsh_pairs(docs_ds, jaccard_threshold: float = 0.8):
     the exact Jaccard is computed vectorized.  The driver never holds
     document text; all stages stream.
 
-    Recall note (ADVICE r2): with 64 permutations in _N_BANDS=8 bands
-    of 8 rows, the S-curve midpoint is (1/8)^(1/8) ~= 0.77 — a pair AT
-    jaccard exactly 0.8 is caught with p ~= 77%, rising to > 99.9% by
-    j = 0.93.  This trades boundary recall for a ~20x candidate-count
-    reduction against j ~= 0.45 template noise (measured round 1); use
+    Recall note (ADVICE r2): banding is derived from the threshold via
+    `minhash_banding` (largest band count whose S-curve midpoint
+    (1/b)^(1/r) stays <= threshold), so e.g. threshold 0.8 -> 8 bands
+    of 8 rows (midpoint 0.77: a pair AT j=0.8 is caught with p ~= 77%,
+    > 99.9% by j = 0.93) while threshold 0.5 -> 16x4.  This trades
+    boundary recall for a ~20x candidate-count reduction against
+    j ~= 0.45 template noise (measured round 1); use
     `ngram_jaccard_pairs` when deterministic completeness at the
     threshold is required."""
-    bands = docs_ds.map_batches(minhash_bands_batch, batch_format="pyarrow")
+    n_bands = minhash_banding(jaccard_threshold)
+    bands = docs_ds.map_batches(
+        minhash_bands_batch, fn_kwargs={"n_bands": n_bands},
+        batch_format="pyarrow")
     # Shuffling into (band_id, band_hash) groups directly would create
     # one tiny pandas group per LSH bucket (tens of thousands) — the
     # per-group overhead dwarfs the work.  Instead hash buckets into a

@@ -165,3 +165,33 @@ def test_ray_data_integration(ray_session):
         np.array([100.0]), np.array([40.0]))
     got = [r for r in out if abs(r["lat"] - 40) < 1 and r["lon"] > 0][0]
     assert got["lon"] == pytest.approx(ref.x[0], abs=1e-12)
+
+
+def test_antimeridian_crossing_bbox():
+    """An area of use with west > east (Fiji-style) matches points on
+    BOTH sides of the antimeridian, and its pseudo-area wraps +360
+    (4D_api.cpp:1714-1716) instead of going negative."""
+    from proj_ray.opselect import Candidate
+
+    fiji = Candidate(f"+proj=hgridshift +grids={EAST_GRID}",
+                     bbox_src=(177.0, -25.0, -178.0, -12.0))
+    assert fiji.pseudo_area == pytest.approx(5.0 * 13.0)
+
+    alt = create_crs_pipeline([
+        {"defn": f"+proj=hgridshift +grids={WEST_GRID}",
+         "bbox_src": (-180, -90, 180, 90), "accuracy": 5.0},
+        {"defn": f"+proj=hgridshift +grids={EAST_GRID}",
+         "bbox_src": (177.0, -25.0, -178.0, -12.0), "accuracy": 1.0},
+    ])
+    # both sides of the wrap select the better (Fiji) candidate
+    ref = create_operation(f"+proj=hgridshift +grids={EAST_GRID}")
+    for lon in (179.5, -179.5):
+        x, _, err = _run(alt, [lon], [-18.0])
+        r = transform_arrays(ref, np.array([lon]), np.array([-18.0]))
+        assert err[0] == 0
+        assert x[0] == pytest.approx(r.x[0], abs=1e-12)
+    # a point clearly outside the wrapped box falls back to global
+    refw = create_operation(f"+proj=hgridshift +grids={WEST_GRID}")
+    x, _, err = _run(alt, [100.0], [-18.0])
+    r = transform_arrays(refw, np.array([100.0]), np.array([-18.0]))
+    assert x[0] == pytest.approx(r.x[0], abs=1e-12)
