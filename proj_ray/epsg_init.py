@@ -110,6 +110,83 @@ EPSG_INIT = {
 }
 
 
+# ---------------------------------------------------------------------------
+# NKG URN shim (nkg.gie): the reference resolves
+# urn:ogc:def:coordinateOperation:NKG::<code> through proj.db entries built
+# from data/sql/nkg.sql (NKG.SOURCE metadata: the published
+# NordicGeodesy/NordicTransformations registry, v1.0.1 2024-04-02).  The
+# expansions below are assembled from those published rows:
+#   - EPSG:7941 ITRF2000->ETRF2000 time-dependent position-vector Helmert
+#     (data/sql/helmert_transformation.sql:2001; mm/mas/ppb -> m/arcsec/ppm)
+#   - NKG P1_2008_<CC> NKG_ETRF00->ETRF<yy>@2000.0 Helmerts
+#     (data/sql/nkg.sql:278-508; metres/arcsec/ppm as stored)
+#   - deformation steps over the NKG2008 velocity grid
+#     (data/sql/nkg.sql other_transformation PROJString rows; dt per country)
+#   - concatenation order per data/sql/nkg.sql concatenated_operation_step
+#     (step 2 NKG_ETRF00_TO_ETRF2000 runs inverse: target->source)
+# 2020-family operations (ITRF2014_*, ETRF14_*) need eur_nkg_nkgrf17vel.tif,
+# which does not ship even as an extract, so they are not shimmed.
+
+_NKG_G03 = "eur_nkg_nkgrf03vel_realigned.tif"
+_NKG_H7941 = ("+proj=helmert +x=0.054 +y=0.051 +z=-0.048 "
+              "+rx=0.000891 +ry=0.00539 +rz=-0.008712 +s=0 "
+              "+dx=0 +dy=0 +dz=0 +drx=0.000081 +dry=0.00049 +drz=-0.000792 "
+              "+ds=0 +t_epoch=2000.0 +convention=position_vector")
+_NKG_DEF_EPOCH = ("+inv +proj=deformation +t_epoch=2000.0 "
+                  f"+grids={_NKG_G03}")
+_NKG_P1_2008 = {
+    "DK": "+x=0.03863 +y=0.147 +z=0.02776 +rx=0.00617753 +ry=5.064e-05 "
+          "+rz=4.729e-05 +s=-0.00942",
+    "EE": "+x=0.12194 +y=0.02225 +z=-0.03541 +rx=0.00227196 "
+          "+ry=-0.00323934 +rz=0.00247008 +s=-0.005626",
+    "FI": "+x=0.07251 +y=-0.13019 +z=-0.11323 +rx=-0.00157399 "
+          "+ry=-0.00308833 +rz=0.00410332 +s=0.013012",
+    "LV": "+x=0.41812 +y=-0.78105 +z=-0.01335 +rx=-0.0216436 "
+          "+ry=-0.0115184 +rz=0.01719911 +s=0.000757",
+    "LT": "+x=0.05692 +y=0.115495 +z=-0.00078 +rx=0.00314291 "
+          "+ry=-0.00147975 +rz=-0.00134758 +s=-0.006182",
+    "NO": "+x=-0.13116 +y=-0.02817 +z=0.02036 +rx=-0.00038674 "
+          "+ry=0.00408947 +rz=0.00103588 +s=0.006569",
+    "SE": "+x=-0.01642 +y=-0.00064 +z=-0.0305 +rx=0.00187431 "
+          "+ry=0.00046382 +rz=0.00228487 +s=0.001861",
+}
+# country intra-plate epoch shifts (ETRF<yy>@2000.0 -> ETRF<yy>@<epoch>)
+_NKG_DT_2008 = {"DK": -5.296, "EE": -2.44, "FI": -3.0, "LV": -7.25,
+                "LT": 3.75, "NO": -5.0, "SE": -0.5}
+
+
+def _nkg_urn_table() -> dict:
+    urns = {
+        "ITRF2000_TO_NKG_ETRF00":
+            f"+proj=pipeline +step {_NKG_H7941} +step {_NKG_DEF_EPOCH}",
+    }
+    for cc, p1 in _NKG_P1_2008.items():
+        p1_step = f"+proj=helmert {p1} +convention=position_vector"
+        dt_step = (f"+proj=deformation +dt={_NKG_DT_2008[cc]} "
+                   f"+grids={_NKG_G03}")
+        urns[f"ETRF00_TO_{cc}"] = \
+            f"+proj=pipeline +step {p1_step} +step {dt_step}"
+        urns[f"ITRF2000_TO_{cc}"] = (
+            f"+proj=pipeline +step {_NKG_H7941} +step {_NKG_DEF_EPOCH} "
+            f"+step {p1_step} +step {dt_step}")
+    return urns
+
+
+NKG_URN = _nkg_urn_table()
+
+
+def expand_urn(defn: str) -> str:
+    """Replace a urn:ogc:def:coordinateOperation:NKG::<code> operation
+    string with its explicit pipeline expansion."""
+    d = defn.strip()
+    prefix = "urn:ogc:def:coordinateOperation:NKG::"
+    if d.startswith(prefix):
+        code = d[len(prefix):]
+        if code in NKG_URN:
+            return NKG_URN[code]
+    return defn
+
+
 def expand_init(defn: str) -> str:
     """Replace init=epsg:N tokens with their shim definitions."""
     import re

@@ -47,6 +47,10 @@ _DATA_DIR = "/root/reference/data"
 _RENAMES = {
     "egm96_15.gtx": "tests/egm96_15_downsampled.gtx",
     "ntv2_0.gsb": "tests/ntv2_0_downsampled.gsb",
+    # NKG velocity grid: only the test extract ships with the reference
+    # (covers the nkg.gie 2008 station points)
+    "eur_nkg_nkgrf03vel_realigned.tif":
+        "tests/nkgrf03vel_realigned_extract.tif",
 }
 
 

@@ -164,8 +164,14 @@ def create_operation(defn: str) -> Pipeline:
     Handles both single operations ("+proj=utm +zone=32 +ellps=GRS80")
     and pipelines ("+proj=pipeline +step +proj=... +step +inv +proj=...").
     """
-    from proj_ray.epsg_init import expand_datum, expand_init
+    from proj_ray.epsg_init import expand_datum, expand_init, expand_urn
 
+    # OGC URN shim (nkg.gie-style coordinateOperation URNs) runs first:
+    # a URN is a whole-operation name, not a +key=value string
+    defn = expand_urn(defn)
+    if defn.strip().startswith("urn:"):
+        raise ProjError(f"unknown or unsupported: URN not in the shim "
+                        f"table: {defn.strip()!r}")
     defn = Params.normalize(defn)
     # EPSG init shim + datum table expansion (proj_ray/epsg_init.py);
     # anything not in the shim is out of scope (no EPSG database)

@@ -43,6 +43,7 @@ FILES = [
     "gie/geotiff_grids.gie",
     "gie/gridshift.gie",
     "gie/defmodel.gie",
+    "gie/nkg.gie",
     "gigs/5101.1-jhs.gie",
     "gigs/5101.2-jhs.gie",
     "gigs/5101.3-jhs.gie",
@@ -144,8 +145,74 @@ def iter_instructions(path: str):
         yield cur_tag, " ".join(cur_args), cur_line
 
 
+def _xyz_to_ll_deg(xyz):
+    """Geocentric XYZ -> (lon_deg, lat_deg) on GRS80 (closed-form
+    spherical-ish iteration is overkill for a bbox test; one Bowring
+    step is plenty)."""
+    import math
+
+    x, y, z = xyz[0], xyz[1], xyz[2]
+    a = 6378137.0
+    es = 0.00669438002290
+    lon = math.degrees(math.atan2(y, x))
+    p = math.hypot(x, y)
+    lat = math.atan2(z, p * (1 - es))
+    for _ in range(3):
+        n = a / math.sqrt(1 - es * math.sin(lat) ** 2)
+        lat = math.atan2(z + es * n * math.sin(lat), p)
+    return lon, math.degrees(lat)
+
+
+_GRID_BBOX_CACHE: dict = {}
+
+
+def _grids_cover(defn: str, accept, dims: int):
+    """For an expanded operation that references grid files, return None
+    when every grid resolves AND its bbox contains the accept point,
+    else the drop reason.  Used for files (nkg.gie) whose reference CI
+    runs against CDN-distributed grids: only extracts ship here, so
+    cases outside extract coverage cannot be asserted."""
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from proj_ray.ops.gridshift import resolve_grid_path
+
+    grids = re.findall(r"\+grids=([^\s+]+)", defn)
+    if not grids:
+        return None
+    try:
+        lon, lat = _xyz_to_ll_deg(accept)
+    except Exception:
+        return "grid_coverage_unknown"
+    for name in grids:
+        path = resolve_grid_path(name)
+        if path is None:
+            return "grid_missing"
+        if path not in _GRID_BBOX_CACHE:
+            from proj_ray.ops.geotiff import read_geotiff
+            import numpy as np
+
+            boxes = []
+            try:
+                for g in read_geotiff(path):
+                    w, s = np.degrees(g.west), np.degrees(g.south)
+                    e = np.degrees(g.west + g.res_x * (g.nx - 1))
+                    n = np.degrees(g.south + g.res_y * (g.ny - 1))
+                    boxes.append((w, s, e, n))
+            except Exception:
+                return "grid_unreadable"
+            _GRID_BBOX_CACHE[path] = boxes
+        if not any(w <= lon <= e and s <= lat <= n
+                   for (w, s, e, n) in _GRID_BBOX_CACHE[path]):
+            return "grid_coverage"
+    return None
+
+
 def extract(path: str, relname: str):
     cases = []
+    drops: dict = {}
+
+    def drop(reason: str):
+        drops[reason] = drops.get(reason, 0) + 1
+
     op = None
     op_line = 0
     tol = 0.0005
@@ -182,6 +249,9 @@ def extract(path: str, relname: str):
         elif tag == "roundtrip":
             if op is None or accept is None or skip_block or ignore \
                or require_grid:
+                if op is not None and accept is not None:
+                    drop("skip_block" if skip_block else
+                         "ignore" if ignore else "require_grid")
                 continue
             parts = args.split()
             n = int(parts[0])
@@ -198,7 +268,29 @@ def extract(path: str, relname: str):
             })
         elif tag == "expect":
             if op is None or skip_block or ignore or require_grid:
+                if op is not None:
+                    drop("skip_block" if skip_block else
+                         "ignore" if ignore else "require_grid")
                 continue
+            if op.startswith("urn:"):
+                # OGC URN operations (nkg.gie): keep only cases the shim
+                # can expand AND whose accept point falls inside the
+                # shipped (extract) grids; the reference CI runs these
+                # against full CDN grids we do not have.
+                sys.path.insert(0, os.path.join(
+                    os.path.dirname(__file__), ".."))
+                from proj_ray.epsg_init import expand_urn
+
+                expanded = expand_urn(op)
+                if expanded == op:
+                    drop("urn_unsupported")
+                    continue
+                acc_probe, _ = parse_coord(args) if accept is None \
+                    else (accept, accept_dims)
+                reason = _grids_cover(expanded, acc_probe, accept_dims)
+                if reason:
+                    drop(reason)
+                    continue
             if args.startswith("failure"):
                 if accept is None:
                     continue
@@ -229,23 +321,37 @@ def extract(path: str, relname: str):
                 "expect_dims": exp_dims,
                 "tolerance_m": tol,
             })
-    return cases
+    return cases, drops
+
+
+DROPPED = os.path.join(os.path.dirname(__file__), "..", "tests", "data",
+                       "gie_dropped.json")
 
 
 def main():
     all_cases = []
+    all_drops = {}
     for rel in FILES:
         path = os.path.join(REF, rel)
         if not os.path.exists(path):
             print(f"missing {path}", file=sys.stderr)
             continue
-        cases = extract(path, rel)
-        print(f"{rel}: {len(cases)} cases")
+        cases, drops = extract(path, rel)
+        note = ""
+        if drops:
+            all_drops[rel] = drops
+            note = " dropped: " + ", ".join(
+                f"{k}={v}" for k, v in sorted(drops.items()))
+        print(f"{rel}: {len(cases)} cases{note}")
         all_cases.extend(cases)
     os.makedirs(os.path.dirname(OUT), exist_ok=True)
     with open(OUT, "w") as f:
         json.dump(all_cases, f)
-    print(f"total {len(all_cases)} -> {OUT}")
+    with open(DROPPED, "w") as f:
+        json.dump(all_drops, f, indent=1, sort_keys=True)
+    n_drop = sum(sum(d.values()) for d in all_drops.values())
+    print(f"total {len(all_cases)} (+{n_drop} dropped, "
+          f"see tests/data/gie_dropped.json) -> {OUT}")
 
 
 if __name__ == "__main__":
