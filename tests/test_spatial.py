@@ -76,6 +76,33 @@ def test_span_invariant_roundtrip(ray_session):
     assert verify_span_invariant(before, after)
 
 
+def test_span_invariant_detects_mutation(ray_session):
+    """A single mutated span text must flip the streaming checksum."""
+    import pyarrow as pa
+
+    before = doc_dataset(200, parallelism=4)
+
+    def corrupt(t: pa.Table) -> pa.Table:
+        spans = t.column("spans")
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        flat = spans.flatten()
+        texts = flat.field("text").to_pylist()
+        texts[0] = texts[0] + "!"
+        off = spans.offsets
+        fixed = pa.StructArray.from_arrays(
+            [flat.field("kind"), pa.array(texts),
+             flat.field("media_ref"), flat.field("offset")],
+            names=["kind", "text", "media_ref", "offset"])
+        newspans = pa.ListArray.from_arrays(off, fixed)
+        return t.set_column(t.schema.get_field_index("spans"), "spans",
+                            newspans)
+
+    after = doc_dataset(200, parallelism=4) \
+        .map_batches(corrupt, batch_format="pyarrow")
+    assert not verify_span_invariant(before, after)
+
+
 def test_grid_cell_sql(coords):
     con = duckdb.connect()
     con.execute("CREATE TABLE documents AS SELECT * FROM range(%d) t(doc_id)"
