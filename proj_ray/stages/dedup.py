@@ -32,6 +32,7 @@ import pyarrow as pa
 
 _MERSENNE = np.uint64((1 << 61) - 1)
 _N_PERM = 64
+_MAX_PERM = 128  # banding may draw up to this many permutations
 _N_BANDS = 8  # 8 rows per band: S-curve threshold ~(1/8)^(1/8)=0.77,
 # near-certain candidacy for true near-dups (j>0.9) while j~0.45
 # template noise drops from 34% to ~3% candidate probability
@@ -45,7 +46,12 @@ def _perm_params(n_perm: int = _N_PERM, seed: int = 99):
     return a.astype(np.uint64), b.astype(np.uint64)
 
 
-_PERM_A, _PERM_B = _perm_params()
+# first 64 permutations keep their original (seed 99) values so 64-perm
+# signatures are stable across versions; the extension block is drawn
+# from a second stream
+_PERM_A, _PERM_B = (np.concatenate(p) for p in zip(
+    _perm_params(_N_PERM, seed=99), _perm_params(_MAX_PERM - _N_PERM,
+                                                 seed=100)))
 
 
 def _join_partitions(cap: int = 16) -> int:
@@ -101,8 +107,8 @@ def exact_dedup(docs_ds, num_buckets: int = 16):
 # --------------------------- MinHash / LSH ---------------------------------
 
 
-def minhash_signatures(text_col) -> np.ndarray:
-    """(n_docs, 64) MinHash signatures, vectorized: crc32 4-gram
+def minhash_signatures(text_col, n_perm: int = _N_PERM) -> np.ndarray:
+    """(n_docs, n_perm) MinHash signatures, vectorized: crc32 4-gram
     shingles from the raw UTF-8 buffer, then per-permutation
     (a*x + b mod 2^64) mod p with a segmented min (reduceat)."""
     from proj_ray.stages.hashing import doc_shingles
@@ -110,11 +116,11 @@ def minhash_signatures(text_col) -> np.ndarray:
     hashes, seg = doc_shingles(text_col, 4)
     x = hashes.astype(np.uint64)
     n_docs = len(seg) - 1
-    sig = np.empty((n_docs, _N_PERM), dtype=np.uint64)
+    sig = np.empty((n_docs, n_perm), dtype=np.uint64)
     if n_docs == 0:
         return sig
     starts = seg[:-1]
-    for p in range(_N_PERM):
+    for p in range(n_perm):
         vals = (_PERM_A[p] * x + _PERM_B[p]) % _MERSENNE
         sig[:, p] = np.minimum.reduceat(vals, starts)
     return sig
@@ -135,24 +141,48 @@ def band_keys(sig: np.ndarray, n_bands: int = _N_BANDS) -> np.ndarray:
     return out
 
 
-def minhash_banding(jaccard_threshold: float) -> int:
-    """Pick n_bands (of the 64 permutations) whose S-curve midpoint
-    (1/b)^(1/r) sits highest while staying at or below the requested
-    threshold — mirroring how auto_lsh_params sizes the cosine LSH.
-    Midpoints: b=4→0.917, 8→0.771, 16→0.5, 32→0.177, 64→0.016."""
-    best = 64
-    for b in (4, 8, 16, 32, 64):
-        r = _N_PERM // b
-        if (1.0 / b) ** (1.0 / r) <= jaccard_threshold:
-            best = b
-            break
-    return best
+def minhash_banding(jaccard_threshold: float) -> tuple[int, int]:
+    """(n_bands, rows_per_band) whose S-curve midpoint (1/b)^(1/r) is
+    closest to the requested Jaccard threshold (the textbook LSH
+    sizing), drawing up to _MAX_PERM permutations.
+
+    Placing the midpoint AT the threshold is what keeps the candidate
+    set bounded on corpora with sub-threshold similarity structure:
+    a midpoint far below the threshold (e.g. 16x4 = 0.5 for t=0.7)
+    promotes roughly half of every j~0.45 template-noise pair to a
+    candidate — measured 9x slower end-to-end at sf0.1 — while a
+    midpoint far above under-recalls pairs at the threshold (the
+    round-2 ADVICE finding).  Ties within 0.02 of the best midpoint
+    distance prefer the recall-safe side (midpoint <= threshold, so
+    recall just above the threshold exceeds 50% rather than trailing
+    it), then more rows per band FIRST (the sharpness of the S-curve
+    is what rejects sub-threshold noise; a shallow 6x5 curve with an
+    accidentally-perfect midpoint still promotes ~11% of j~0.45
+    pairs), then the closest midpoint, then fewer permutations.
+    E.g. 0.8 -> 10x10 (midpoint 0.794: 98.6% recall at j=0.9, 0.3%
+    candidate probability at j=0.45); 0.7 -> 13x7 (midpoint 0.693)."""
+    cands = []
+    for r in range(2, 17):
+        for b in range(2, 33):
+            if b * r > _MAX_PERM:
+                break
+            m = (1.0 / b) ** (1.0 / r)
+            cands.append((abs(m - jaccard_threshold), m, b, r))
+    best = min(c[0] for c in cands)
+    near = [c for c in cands if c[0] <= best + 0.02]
+    below = [c for c in near if c[1] <= jaccard_threshold]
+    pool = below or near
+    _, _, b, r = min(pool, key=lambda c: (-c[3], c[0], c[2] * c[3]))
+    return b, r
 
 
 def minhash_bands_batch(batch: pa.Table,
-                        n_bands: int = _N_BANDS) -> pa.Table:
+                        n_bands: int = _N_BANDS,
+                        rows_per_band: int = _N_PERM // _N_BANDS
+                        ) -> pa.Table:
     """Emit (band_id, band_hash, doc_id) rows (the LSH explode)."""
-    sig = minhash_signatures(batch.column("text"))
+    sig = minhash_signatures(batch.column("text"),
+                             n_perm=n_bands * rows_per_band)
     keys = band_keys(sig, n_bands)
     n = len(sig)
     doc = batch.column("doc_id").to_numpy(zero_copy_only=False)
@@ -377,17 +407,20 @@ def minhash_lsh_pairs(docs_ds, jaccard_threshold: float = 0.8):
     document text; all stages stream.
 
     Recall note (ADVICE r2): banding is derived from the threshold via
-    `minhash_banding` (largest band count whose S-curve midpoint
-    (1/b)^(1/r) stays <= threshold), so e.g. threshold 0.8 -> 8 bands
-    of 8 rows (midpoint 0.77: a pair AT j=0.8 is caught with p ~= 77%,
-    > 99.9% by j = 0.93) while threshold 0.5 -> 16x4.  This trades
-    boundary recall for a ~20x candidate-count reduction against
-    j ~= 0.45 template noise (measured round 1); use
+    `minhash_banding`, which places the S-curve midpoint (1/b)^(1/r)
+    AT the threshold using up to 128 permutations — e.g. threshold
+    0.8 -> 11 bands of 11 rows (midpoint 0.804), threshold 0.7 ->
+    16 bands of 8 rows (midpoint 0.707).  A pair exactly at the
+    threshold is caught with p ~= 0.5 and the probability rises
+    steeply above it (> 95% within ~0.1), while sub-threshold
+    template noise (j ~= 0.45) stays a few percent — the property
+    that keeps the candidate set bounded at scale.  Use
     `ngram_jaccard_pairs` when deterministic completeness at the
     threshold is required."""
-    n_bands = minhash_banding(jaccard_threshold)
+    n_bands, rows_per_band = minhash_banding(jaccard_threshold)
     bands = docs_ds.map_batches(
-        minhash_bands_batch, fn_kwargs={"n_bands": n_bands},
+        minhash_bands_batch,
+        fn_kwargs={"n_bands": n_bands, "rows_per_band": rows_per_band},
         batch_format="pyarrow")
     # Shuffling into (band_id, band_hash) groups directly would create
     # one tiny pandas group per LSH bucket (tens of thousands) — the

@@ -8,19 +8,24 @@ from proj_ray.ops.base import ProjError
 
 
 def test_minhash_banding_tracks_threshold():
-    """n_bands is the largest band count whose S-curve midpoint
-    (1/b)^(1/r) stays at or below the requested Jaccard threshold."""
-    from proj_ray.stages.dedup import minhash_banding
+    """(n_bands, rows_per_band) places the S-curve midpoint
+    (1/b)^(1/r) AT the requested Jaccard threshold (within the
+    granularity of <=128 permutations), preferring sharper curves
+    (more rows per band) among near-ties so sub-threshold noise is
+    rejected hard."""
+    from proj_ray.stages.dedup import _MAX_PERM, minhash_banding
 
-    assert minhash_banding(0.95) == 4   # midpoint 0.917
-    assert minhash_banding(0.8) == 8    # midpoint 0.771 (the default)
-    assert minhash_banding(0.7) == 16   # midpoint 0.5
-    assert minhash_banding(0.3) == 32
-    # sanity: midpoint really is below the threshold it is chosen for
-    for t in (0.95, 0.8, 0.7, 0.5, 0.3):
-        b = minhash_banding(t)
-        r = 64 // b
-        assert (1.0 / b) ** (1.0 / r) <= t
+    for t in (0.95, 0.9, 0.8, 0.7, 0.5, 0.3):
+        b, r = minhash_banding(t)
+        assert 2 <= b and 2 <= r and b * r <= _MAX_PERM
+        midpoint = (1.0 / b) ** (1.0 / r)
+        # midpoint lands at the threshold, not half-way down the curve
+        assert abs(midpoint - t) <= 0.05, (t, b, r, midpoint)
+    # the regression that motivated this: at t=0.7 the midpoint must
+    # NOT collapse to 0.5 (16x4 over 64 perms), which promoted ~half
+    # of all j~0.45 template-noise pairs to candidates
+    b, r = minhash_banding(0.7)
+    assert (1.0 / b) ** (1.0 / r) > 0.65
 
 
 def test_now_decimal_year_zero_based_yday():
