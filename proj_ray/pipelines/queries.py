@@ -1045,6 +1045,87 @@ def q_ngram_jaccard(sf_dir: str):
     return ngram_jaccard_pairs(ds, jaccard_threshold=0.8, ngram=4)
 
 
+def q_dedup_clusters(sf_dir: str):
+    """Near-duplicate CLUSTER labeling: the deterministic n-gram
+    Jaccard pair graph (same semantics as `ngram_jaccard`), closed
+    under transitivity by distributed hash-min connected components —
+    each duplicated document labeled with the smallest doc_id of its
+    component.  Oracle: DuckDB recursive-CTE transitive closure over
+    the identical pair set."""
+    import ray.data as rd
+
+    from proj_ray.stages.components import connected_components
+    from proj_ray.stages.dedup import ngram_jaccard_pairs
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    pairs = ngram_jaccard_pairs(ds, jaccard_threshold=0.8, ngram=4)
+    labels = connected_components(pairs)
+
+    def rename(t):
+        return t.rename_columns(["doc_id", "component"])
+
+    return labels.map_batches(rename, batch_format="pyarrow")
+
+
+def q_near_dup_keep(sf_dir: str):
+    """The corpus after near-duplicate removal: every document except
+    non-representative members of each Jaccard>=0.8 cluster (keep =
+    min doc_id per connected component).  Returns the kept doc_ids."""
+    import ray.data as rd
+
+    from proj_ray.stages.components import near_dup_filter
+    from proj_ray.stages.dedup import ngram_jaccard_pairs
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    pairs = ngram_jaccard_pairs(ds, jaccard_threshold=0.8, ngram=4)
+    kept = near_dup_filter(ds.select_columns(["doc_id"]), pairs)
+    return kept
+
+
+_SQL_NGRAM_PAIR_CTE = """
+sets AS (
+    SELECT doc_id,
+           list_distinct(list_transform(
+               range(1, length(text) - 2),
+               i -> substr(text, i, 4))) AS sh
+    FROM documents
+),
+jpairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+          >= 0.8
+),
+edges AS (
+    SELECT doc_a AS a, doc_b AS b FROM jpairs
+    UNION ALL
+    SELECT doc_b, doc_a FROM jpairs
+),
+reach(node, r) AS (
+    SELECT a, a FROM edges
+    UNION
+    SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.node
+)
+"""
+
+SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE {_SQL_NGRAM_PAIR_CTE}
+SELECT node AS doc_id, MIN(r) AS component
+FROM reach GROUP BY node ORDER BY doc_id
+"""
+
+SQL_NEAR_DUP_KEEP = f"""
+WITH RECURSIVE {_SQL_NGRAM_PAIR_CTE},
+cc AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node)
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT node FROM cc WHERE node != component)
+ORDER BY doc_id
+"""
+
+
 SQL_NGRAM_JACCARD = """
 WITH sets AS (
     SELECT doc_id,
@@ -1157,6 +1238,8 @@ def build_queries():
         "hex_histogram": q_hex_histogram,
         "minhash_pairs": q_minhash_pairs,
         "ngram_jaccard": q_ngram_jaccard,
+        "dedup_clusters": q_dedup_clusters,
+        "near_dup_keep": q_near_dup_keep,
         "simhash_pairs": q_simhash_pairs,
         "embedding_near_dup": q_embedding_near_dup,
         "ann_ivf": q_ann_ivf,
@@ -1190,4 +1273,6 @@ def build_oracles():
         "events_window": SQL_EVENTS_WINDOW,
         "lineitem_agg": SQL_LINEITEM_AGG,
         "ngram_jaccard": SQL_NGRAM_JACCARD,
+        "dedup_clusters": SQL_DEDUP_CLUSTERS,
+        "near_dup_keep": SQL_NEAR_DUP_KEEP,
     }
