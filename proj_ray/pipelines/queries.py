@@ -1045,6 +1045,52 @@ def q_ngram_jaccard(sf_dir: str):
     return ngram_jaccard_pairs(ds, jaccard_threshold=0.8, ngram=4)
 
 
+def q_doc_sample(sf_dir: str):
+    """Deterministic 10% corpus sample: keep iff the Knuth
+    multiplicative hash of doc_id clears the rate threshold — the
+    stateless, re-run-stable sampling a resumable 100-TB job needs.
+    Oracle-exact: the identical modular arithmetic runs in DuckDB
+    HUGEINT."""
+    import ray.data as rd
+
+    from proj_ray.stages.sampling import hash_sample
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "lang", "n_chars"])
+    return hash_sample(ds, rate=0.1, id_col="doc_id", seed=7)
+
+
+def q_stratified_sample(sf_dir: str):
+    """Per-language deterministic sampling (downsample the dominant
+    language, keep the tails): en at 5%, everything else at 25%."""
+    import ray.data as rd
+
+    from proj_ray.stages.sampling import stratified_hash_sample
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "lang"])
+    return stratified_hash_sample(ds, rates={"en": 0.05},
+                                  default_rate=0.25,
+                                  strat_col="lang", seed=7)
+
+
+def _sql_doc_sample() -> str:
+    from proj_ray.stages.sampling import sql_hash_sample_pred
+
+    return (f"SELECT doc_id, lang, n_chars FROM documents "
+            f"WHERE {sql_hash_sample_pred(0.1, seed=7)} "
+            f"ORDER BY doc_id")
+
+
+def _sql_stratified_sample() -> str:
+    from proj_ray.stages.sampling import sql_hash_sample_pred
+
+    rate = "CASE WHEN lang = 'en' THEN 0.05 ELSE 0.25 END"
+    return (f"SELECT doc_id, lang FROM documents "
+            f"WHERE {sql_hash_sample_pred(rate, seed=7)} "
+            f"ORDER BY doc_id")
+
+
 def q_dedup_clusters(sf_dir: str):
     """Near-duplicate CLUSTER labeling: the deterministic n-gram
     Jaccard pair graph (same semantics as `ngram_jaccard`), closed
@@ -1240,6 +1286,8 @@ def build_queries():
         "ngram_jaccard": q_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
         "near_dup_keep": q_near_dup_keep,
+        "doc_sample": q_doc_sample,
+        "stratified_sample": q_stratified_sample,
         "simhash_pairs": q_simhash_pairs,
         "embedding_near_dup": q_embedding_near_dup,
         "ann_ivf": q_ann_ivf,
@@ -1275,4 +1323,6 @@ def build_oracles():
         "ngram_jaccard": SQL_NGRAM_JACCARD,
         "dedup_clusters": SQL_DEDUP_CLUSTERS,
         "near_dup_keep": SQL_NEAR_DUP_KEEP,
+        "doc_sample": _sql_doc_sample(),
+        "stratified_sample": _sql_stratified_sample(),
     }

@@ -1,0 +1,89 @@
+"""Deterministic hash-based sampling.
+
+At corpus scale, sampling must be (a) a stateless per-row decision so
+it parallelizes with zero coordination, (b) deterministic so re-runs,
+resumed jobs and downstream audits see the same sample, and (c)
+stratifiable so each slice (language, source, quality band) keeps its
+own rate.  Random-number sampling satisfies none of these; keyed
+hashing satisfies all three: keep a row iff
+``hash(id, seed) < rate * 2**64``.
+
+The hash is a Knuth multiplicative hash over the id with the seed
+folded in: ``h = (id + seed) * PHI64  (mod 2**64)``.  Multiplicative
+hashing with the golden-ratio constant spreads consecutive ids
+uniformly (Knuth, TAOCP vol. 3 §6.4), and — deliberately — the whole
+computation is plain modular arithmetic, so a SQL oracle can reproduce
+it bit-for-bit with 128-bit integer math (DuckDB HUGEINT); see
+``sql_hash_sample_pred``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+# 2**64 / golden ratio, odd (Knuth's multiplicative constant)
+PHI64 = np.uint64(0x9E3779B97F4A7C15)
+_PHI64_INT = int(PHI64)
+_TWO64 = 1 << 64
+
+
+def hash_keep_mask(ids: np.ndarray, rate: float,
+                   seed: int = 0) -> np.ndarray:
+    """Boolean keep-mask: deterministic in (id, seed), P(keep) = rate
+    for ids uniform mod 2**64.  Comparison stays in exact uint64."""
+    rate = min(max(rate, 0.0), 1.0)
+    h = (ids.astype(np.uint64) + np.uint64(seed)) * PHI64
+    if rate >= 1.0:
+        return np.ones(len(h), dtype=bool)
+    return h < np.uint64(rate * float(_TWO64))
+
+
+def hash_sample(ds, rate: float, id_col: str = "doc_id", seed: int = 0):
+    """Keep each row with probability `rate`, decided by a
+    deterministic hash of its id — stateless, order- and
+    partitioning-independent, identical across re-runs."""
+    def keep(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(hash_keep_mask(ids, rate, seed)))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def stratified_hash_sample(ds, rates: dict, strat_col: str,
+                           default_rate: float = 0.0,
+                           id_col: str = "doc_id", seed: int = 0):
+    """Per-stratum deterministic sampling: each row's keep-rate comes
+    from `rates[row[strat_col]]` (else `default_rate`).  One stateless
+    pass — the rate table rides into every task as a plain dict (tiny),
+    the keep decision never leaves the batch."""
+    def keep(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        enc = pc.dictionary_encode(t.column(strat_col)).combine_chunks()
+        per_uniq = np.array(
+            [float(rates.get(v.as_py(), default_rate))
+             for v in enc.dictionary], dtype=np.float64)
+        r = np.clip(per_uniq, 0.0, 1.0)[
+            enc.indices.to_numpy(zero_copy_only=False)]
+        h = (ids.astype(np.uint64) + np.uint64(seed)) * PHI64
+        full = r >= 1.0
+        thresh = (np.where(full, 0.0, r) * float(_TWO64)) \
+            .astype(np.uint64)
+        return t.filter(pa.array(full | (h < thresh)))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def sql_hash_sample_pred(rate, id_col: str = "doc_id",
+                         seed: int = 0) -> str:
+    """The DuckDB predicate computing the IDENTICAL keep decision:
+    128-bit multiply, explicit mod 2**64, threshold compare.  `rate`
+    may be a float or a SQL expression (e.g. a CASE over a stratum
+    column)."""
+    rate_expr = rate if isinstance(rate, str) else repr(float(rate))
+    return (f"(({id_col}::HUGEINT + {seed}) * {_PHI64_INT}::HUGEINT)"
+            f" % {_TWO64}::HUGEINT"
+            f" < CAST(LEAST(GREATEST({rate_expr}, 0.0), 1.0)"
+            f" * {float(_TWO64)!r} AS HUGEINT)")

@@ -1,0 +1,85 @@
+"""Deterministic hash sampling: stability, rate accuracy, stratification,
+and exact agreement with the DuckDB HUGEINT oracle arithmetic."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from proj_ray.stages.sampling import (
+    hash_keep_mask,
+    sql_hash_sample_pred,
+)
+
+
+def test_mask_deterministic_and_rate():
+    ids = np.arange(100_000, dtype=np.int64)
+    m1 = hash_keep_mask(ids, 0.1, seed=3)
+    m2 = hash_keep_mask(ids, 0.1, seed=3)
+    assert (m1 == m2).all()
+    assert abs(m1.mean() - 0.1) < 0.01
+    # different seed -> different (mostly independent) sample
+    m3 = hash_keep_mask(ids, 0.1, seed=4)
+    assert (m1 != m3).any()
+    # rate monotone: the 10% sample contains the 5% sample (same seed)
+    m5 = hash_keep_mask(ids, 0.05, seed=3)
+    assert (~m5 | m1).all()
+
+
+def test_mask_edge_rates():
+    ids = np.arange(1000, dtype=np.int64)
+    assert hash_keep_mask(ids, 0.0).sum() == 0
+    assert hash_keep_mask(ids, 1.0).all()
+    assert hash_keep_mask(ids, 2.0).all()
+    assert hash_keep_mask(ids, -1.0).sum() == 0
+
+
+@pytest.mark.parametrize("rate,seed", [(0.1, 0), (0.37, 7), (0.999, 1)])
+def test_mask_matches_duckdb_pred(rate, seed):
+    ids = np.arange(5000, dtype=np.int64)
+    mine = set(ids[hash_keep_mask(ids, rate, seed=seed)])
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"doc_id": ids}))
+    pred = sql_hash_sample_pred(rate, seed=seed)
+    want = set(con.execute(
+        f"SELECT doc_id FROM t WHERE {pred}").df()["doc_id"])
+    assert mine == want
+
+
+def test_hash_sample_dataset(ray_session):
+    import ray.data as rd
+
+    from proj_ray.stages.sampling import hash_sample
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(2000), type=pa.int64()),
+        "payload": [f"p{i}" for i in range(2000)],
+    }))
+    out = hash_sample(ds, 0.2, seed=5).to_pandas()
+    ids = np.arange(2000, dtype=np.int64)
+    want = ids[hash_keep_mask(ids, 0.2, seed=5)]
+    assert sorted(out["doc_id"]) == sorted(want)
+    assert set(out.columns) == {"doc_id", "payload"}
+
+
+def test_stratified_sample(ray_session):
+    import ray.data as rd
+
+    from proj_ray.stages.sampling import stratified_hash_sample
+
+    n = 3000
+    langs = np.array(["en", "fr", "zh"])[np.arange(n) % 3]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(n), type=pa.int64()),
+        "lang": pa.array(langs),
+    }))
+    out = stratified_hash_sample(
+        ds, rates={"en": 0.05, "fr": 1.0}, default_rate=0.5,
+        strat_col="lang", seed=2).to_pandas()
+    ids = np.arange(n, dtype=np.int64)
+    for lang, rate in (("en", 0.05), ("fr", 1.0), ("zh", 0.5)):
+        sel = langs == lang
+        want = set(ids[sel][hash_keep_mask(ids[sel], rate, seed=2)])
+        got = set(out.loc[out["lang"] == lang, "doc_id"])
+        assert got == want, lang
