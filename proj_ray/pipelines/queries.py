@@ -1250,6 +1250,64 @@ def q_lang_quality(sf_dir: str):
         batch_format="pandas")
 
 
+def _sql_lang_quality() -> str:
+    """Oracle mirror of text.lang_id_batch + TextScorer quality: every
+    piece is deterministic arithmetic — marker-substring counts via the
+    non-overlapping replace trick (same left-to-right scan semantics as
+    pandas str.count), CJK chars via regexp_replace, argmax tie-break
+    in the engine's language order, and the identical quality
+    formula."""
+    def subcount(pat: str) -> str:
+        return (f"(length(lt) - length(replace(lt, '{pat}', '')))"
+                f" / {len(pat)}")
+
+    markers = {
+        "en": [" the ", " and ", " of "],
+        "de": [" der ", " und ", " die "],
+        "fr": [" le ", " la ", " et "],
+        "es": [" el ", " los ", " que "],
+    }
+    score_exprs = {
+        lang: "(" + " + ".join(subcount(p) for p in pats) + ")"
+        for lang, pats in markers.items()
+    }
+    score_exprs["zh"] = ("(10 * length(regexp_replace(lt, "
+                         "'[^一-鿿]', '', 'g')))")
+    s = score_exprs
+    pred = f"""CASE
+        WHEN GREATEST({s['en']}, {s['de']}, {s['fr']}, {s['es']},
+                      {s['zh']}) = 0 THEN 'unknown'
+        WHEN {s['en']} >= {s['de']} AND {s['en']} >= {s['fr']}
+             AND {s['en']} >= {s['es']} AND {s['en']} >= {s['zh']}
+             THEN 'en'
+        WHEN {s['de']} >= {s['fr']} AND {s['de']} >= {s['es']}
+             AND {s['de']} >= {s['zh']} THEN 'de'
+        WHEN {s['fr']} >= {s['es']} AND {s['fr']} >= {s['zh']}
+             THEN 'fr'
+        WHEN {s['es']} >= {s['zh']} THEN 'es'
+        ELSE 'zh' END"""
+    return f"""
+WITH t AS (
+    SELECT doc_id, lang, lower(text) AS lt,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS BIGINT)
+               AS n_tok,
+           CAST(length(text) AS BIGINT) AS n_char,
+           CAST(len(list_filter(regexp_extract_all(lower(text),
+                '[a-z0-9_]+'),
+                x -> x IN ('the','and','of','a','to','in','is','on',
+                           'for','with'))) AS BIGINT) AS n_stop
+    FROM documents
+)
+SELECT doc_id, lang, {pred} AS lang_pred,
+       round(LEAST(CASE WHEN n_tok > 0
+                        THEN (n_char::DOUBLE / n_tok) / 10.0
+                        ELSE 0.0 END, 1.0) * 0.5
+           + LEAST(CASE WHEN n_tok > 0
+                        THEN (n_stop::DOUBLE / n_tok) * 5.0
+                        ELSE 0.0 END, 1.0) * 0.5, 9) AS quality_score
+FROM t"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1325,4 +1383,5 @@ def build_oracles():
         "near_dup_keep": SQL_NEAR_DUP_KEEP,
         "doc_sample": _sql_doc_sample(),
         "stratified_sample": _sql_stratified_sample(),
+        "lang_quality": _sql_lang_quality(),
     }
