@@ -69,10 +69,41 @@ def _label_sum(labels_ds) -> int:
     return int(total)
 
 
+# Below this many pairs the edge list fits the driver comfortably
+# (16 bytes/pair) and an exact union-find beats paying 2 shuffles x
+# O(diameter) rounds of fixed Ray overhead — the same size-gated
+# broadcast-vs-shuffle split dedup._verify_pairs uses.  The distributed
+# fixpoint below remains the default for anything larger.
+_DRIVER_UF_LIMIT = 2_000_000
+
+
+def _driver_union_find(a: np.ndarray, b: np.ndarray) -> pa.Table:
+    """Exact min-label union-find over a driver-resident edge list,
+    vectorized around np.unique (path compression via repeated
+    gather until fixpoint — O(E * log-ish) with no Python-per-edge)."""
+    nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    ea, eb = inv[:len(a)], inv[len(a):]
+    label = np.arange(len(nodes), dtype=np.int64)
+    while True:
+        # propagate: each edge pulls both endpoints to the smaller label
+        m = np.minimum(label[ea], label[eb])
+        nxt = label.copy()
+        np.minimum.at(nxt, ea, m)
+        np.minimum.at(nxt, eb, m)
+        # compress: labels point at nodes, so chase one hop
+        nxt = nxt[nxt]
+        if (nxt == label).all():
+            break
+        label = nxt
+    return pa.table({"node": pa.array(nodes),
+                     "component": pa.array(nodes[label])})
+
+
 def connected_components(pairs, col_a: str = "doc_a",
                          col_b: str = "doc_b",
                          num_buckets: int = 32,
-                         max_iters: int = 50):
+                         max_iters: int = 50,
+                         driver_limit: int = _DRIVER_UF_LIMIT):
     """(node, component) labeling of the undirected pair graph, where
     component = the smallest node id in the node's connected component.
     Only nodes that appear in some pair are labeled (isolated documents
@@ -80,8 +111,13 @@ def connected_components(pairs, col_a: str = "doc_a",
 
     `pairs` is a Dataset or pandas DataFrame with integer id columns
     `col_a`/`col_b`.  Returns a Ray Dataset of (node: int64,
-    component: int64).
+    component: int64).  Pair streams at or under `driver_limit` rows
+    take an exact driver-side union-find (they fit trivially and skip
+    O(diameter) shuffle rounds); larger streams run the distributed
+    hash-min fixpoint.  Pass driver_limit=0 to force the distributed
+    path.
     """
+    import ray
     import ray.data as rd
 
     from proj_ray.stages.agg import hash_shuffle_aggregate
@@ -89,7 +125,23 @@ def connected_components(pairs, col_a: str = "doc_a",
     if isinstance(pairs, pd.DataFrame):
         if pairs.empty:
             return rd.from_arrow(_empty_labels())
+        if len(pairs) <= driver_limit:
+            return rd.from_arrow(_driver_union_find(
+                pairs[col_a].to_numpy().astype(np.int64),
+                pairs[col_b].to_numpy().astype(np.int64)))
         pairs = rd.from_pandas(pairs[[col_a, col_b]])
+    elif driver_limit:
+        pairs = pairs.materialize()
+        if pairs.count() <= driver_limit:
+            tbl = pa.concat_tables(ray.get(pairs.to_arrow_refs()),
+                                   promote_options="default")
+            if tbl.num_rows == 0:
+                return rd.from_arrow(_empty_labels())
+            return rd.from_arrow(_driver_union_find(
+                tbl.column(col_a).to_numpy(zero_copy_only=False)
+                .astype(np.int64),
+                tbl.column(col_b).to_numpy(zero_copy_only=False)
+                .astype(np.int64)))
 
     def edge_batch(t: pa.Table) -> pa.Table:
         a = t.column(col_a).to_numpy(zero_copy_only=False).astype(np.int64)

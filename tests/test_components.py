@@ -51,17 +51,24 @@ GRAPHS = {
 }
 
 
+# driver_limit=0 forces the distributed hash-min fixpoint; the default
+# takes the exact driver union-find.  Both must agree with ground truth
+# on every graph shape.
+@pytest.mark.parametrize("limit", [0, 2_000_000],
+                         ids=["distributed", "driver"])
 @pytest.mark.parametrize("name", sorted(GRAPHS))
-def test_cc_matches_union_find(ray_session, name):
+def test_cc_matches_union_find(ray_session, name, limit):
     pairs = GRAPHS[name]
-    got = _run_cc(pairs, num_buckets=4)
+    got = _run_cc(pairs, num_buckets=4, driver_limit=limit)
     assert got == _uf_components(pairs)
 
 
-def test_cc_random_graph(ray_session):
+@pytest.mark.parametrize("limit", [0, 2_000_000],
+                         ids=["distributed", "driver"])
+def test_cc_random_graph(ray_session, limit):
     rng = np.random.default_rng(17)
     pairs = [tuple(map(int, p)) for p in rng.integers(0, 400, (300, 2))]
-    got = _run_cc(pairs, num_buckets=8)
+    got = _run_cc(pairs, num_buckets=8, driver_limit=limit)
     assert got == _uf_components(pairs)
 
 
@@ -69,8 +76,24 @@ def test_cc_more_buckets_than_edges(ray_session):
     """The driver-shape regression class from round 2: partition count
     far above the row count must not change results or crash."""
     pairs = [(1, 2), (2, 3)]
-    got = _run_cc(pairs, num_buckets=64)
+    got = _run_cc(pairs, num_buckets=64, driver_limit=0)
     assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_cc_dataset_input_both_paths(ray_session):
+    """Dataset (not DataFrame) input: the size gate materializes and
+    counts; both sides of the gate produce identical labels."""
+    import ray.data as rd
+
+    pairs = GRAPHS["two_components"]
+    df = pd.DataFrame(pairs, columns=["doc_a", "doc_b"], dtype="int64")
+    from proj_ray.stages.components import connected_components
+
+    for limit in (0, 10**6):
+        out = connected_components(rd.from_pandas(df),
+                                   driver_limit=limit).to_pandas()
+        assert dict(zip(out["node"], out["component"])) \
+            == _uf_components(pairs)
 
 
 def test_near_dup_filter_keeps_representatives(ray_session):
