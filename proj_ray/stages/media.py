@@ -94,13 +94,14 @@ class FrameSampler:
         self.stride_ms = stride_ms
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        rows = {"media_ref": [], "frame_ts_ms": []}
         vids = batch[batch["media_type"] == "video"]
-        for ref, dur in zip(vids["media_ref"], vids["duration_ms"]):
-            for ts in range(0, int(dur), self.stride_ms):
-                rows["media_ref"].append(ref)
-                rows["frame_ts_ms"].append(ts)
-        return pd.DataFrame(rows)
+        dur = vids["duration_ms"].to_numpy().astype(np.int64)
+        counts = -(-np.maximum(dur, 0) // self.stride_ms)  # ceil
+        total = int(counts.sum())
+        refs = np.repeat(vids["media_ref"].to_numpy(), counts)
+        starts = np.repeat(np.cumsum(counts) - counts, counts)
+        ts = (np.arange(total, dtype=np.int64) - starts) * self.stride_ms
+        return pd.DataFrame({"media_ref": refs, "frame_ts_ms": ts})
 
 
 def media_pipeline(doc_ds, concurrency: int = 2):
