@@ -1045,6 +1045,60 @@ def q_ngram_jaccard(sf_dir: str):
     return ngram_jaccard_pairs(ds, jaccard_threshold=0.8, ngram=4)
 
 
+def q_events_asof(sf_dir: str):
+    """Backward as-of join: each click event picks up the same user's
+    most recent at-or-before purchase (ts + value).  Oracle: DuckDB's
+    native ASOF LEFT JOIN."""
+    import ray.data as rd
+
+    from proj_ray.stages.asof import asof_join
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts",
+                                  "event_type", "value"])
+    clicks = ev.filter(expr="event_type == 'click'") \
+        .select_columns(["event_id", "user_id", "ts"])
+
+    def purchases_batch(t: pa.Table) -> pa.Table:
+        mask = pc.equal(t.column("event_type"), "purchase")
+        f = t.filter(mask)
+        return pa.table({"user_id": f.column("user_id"),
+                         "ts": f.column("ts"),
+                         "purchase_ts": f.column("ts"),
+                         "purchase_value": f.column("value")})
+
+    purchases = ev.map_batches(purchases_batch, batch_format="pyarrow")
+    joined = asof_join(clicks, purchases, key="user_id", time="ts")
+
+    # no-match sentinels instead of nulls: value-hash comparators do
+    # not reliably equate NaT/NaN across engines
+    def fill(t: pa.Table) -> pa.Table:
+        pts = pc.fill_null(t.column("purchase_ts"),
+                           pa.scalar(0, pa.timestamp("us")))
+        pv = pc.fill_null(t.column("purchase_value"), -1.0)
+        return pa.table({
+            "event_id": t.column("event_id"),
+            "user_id": t.column("user_id"),
+            "ts": t.column("ts"),
+            "purchase_ts": pts,
+            "purchase_value": pv,
+        })
+
+    return joined.map_batches(fill, batch_format="pyarrow")
+
+
+SQL_EVENTS_ASOF = """
+SELECT l.event_id, l.user_id, l.ts,
+       COALESCE(r.ts, TIMESTAMP '1970-01-01') AS purchase_ts,
+       COALESCE(r.value, -1.0) AS purchase_value
+FROM (SELECT event_id, user_id, ts FROM events
+      WHERE event_type = 'click') l
+ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+                WHERE event_type = 'purchase') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
 def q_doc_sample(sf_dir: str):
     """Deterministic 10% corpus sample: keep iff the Knuth
     multiplicative hash of doc_id clears the rate threshold — the
@@ -1346,6 +1400,7 @@ def build_queries():
         "near_dup_keep": q_near_dup_keep,
         "doc_sample": q_doc_sample,
         "stratified_sample": q_stratified_sample,
+        "events_asof": q_events_asof,
         "simhash_pairs": q_simhash_pairs,
         "embedding_near_dup": q_embedding_near_dup,
         "ann_ivf": q_ann_ivf,
@@ -1383,5 +1438,6 @@ def build_oracles():
         "near_dup_keep": SQL_NEAR_DUP_KEEP,
         "doc_sample": _sql_doc_sample(),
         "stratified_sample": _sql_stratified_sample(),
+        "events_asof": SQL_EVENTS_ASOF,
         "lang_quality": _sql_lang_quality(),
     }

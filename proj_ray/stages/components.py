@@ -300,8 +300,8 @@ def near_dup_filter(docs_ds, pairs, id_col: str = "doc_id",
                 cols[name] = pa.nulls(len(t), type=typ)
         return pa.table(cols)
 
-    template = [(f.name, f.type)
-                for f in tagged_docs.schema().base_schema]
+    dsch = tagged_docs.schema()
+    template = list(zip(dsch.names, dsch.types))
     both = tagged_docs.union(
         tagged_victims.map_batches(widen_victims,
                                    fn_kwargs={"template": template},
