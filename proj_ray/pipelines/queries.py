@@ -1099,6 +1099,67 @@ ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
 """
 
 
+def q_events_sessionize(sf_dir: str):
+    """Gap-based session windows (30-min inactivity gap) per user, with
+    a per-session sequence number — the streaming session-window
+    semantics, computed with one key shuffle + vectorized per-partition
+    resolve.  Oracle: SQL window functions (lag / running sum /
+    row_number)."""
+    import ray.data as rd
+
+    from proj_ray.stages.windows import sessionize
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts"])
+    return sessionize(ev, key="user_id", time="ts", gap_s=1800,
+                      tiebreak="event_id")
+
+
+SQL_EVENTS_SESSIONIZE = """
+WITH lagged AS (
+    SELECT event_id, user_id, ts,
+           CASE WHEN lag(ts) OVER w IS NULL
+                     OR ts - lag(ts) OVER w > INTERVAL 1800 SECOND
+                THEN 1 ELSE 0 END AS new_sess
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+    SELECT event_id, user_id, ts,
+           CAST(SUM(new_sess) OVER (PARTITION BY user_id
+                ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) - 1
+                AS BIGINT) AS session_id
+    FROM lagged
+)
+SELECT event_id, user_id, ts, session_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY user_id, session_id
+            ORDER BY ts, event_id) - 1 AS BIGINT) AS session_seq
+FROM sess
+"""
+
+
+def q_events_top_value(sf_dir: str):
+    """Exact per-user top-3 events by value (bounded partial top-k per
+    batch, then one shuffle of O(users * k) rows)."""
+    import ray.data as rd
+
+    from proj_ray.stages.windows import grouped_top_k
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "value"])
+    return grouped_top_k(ev, key="user_id", score="value", k=3,
+                         tiebreak="event_id")
+
+
+SQL_EVENTS_TOP_VALUE = """
+SELECT event_id, user_id, value FROM (
+    SELECT event_id, user_id, value,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY value DESC, event_id) AS rn
+    FROM events) WHERE rn <= 3
+"""
+
+
 def q_doc_sample(sf_dir: str):
     """Deterministic 10% corpus sample: keep iff the Knuth
     multiplicative hash of doc_id clears the rate threshold — the
@@ -1401,6 +1462,8 @@ def build_queries():
         "doc_sample": q_doc_sample,
         "stratified_sample": q_stratified_sample,
         "events_asof": q_events_asof,
+        "events_sessionize": q_events_sessionize,
+        "events_top_value": q_events_top_value,
         "simhash_pairs": q_simhash_pairs,
         "embedding_near_dup": q_embedding_near_dup,
         "ann_ivf": q_ann_ivf,
@@ -1439,5 +1502,7 @@ def build_oracles():
         "doc_sample": _sql_doc_sample(),
         "stratified_sample": _sql_stratified_sample(),
         "events_asof": SQL_EVENTS_ASOF,
+        "events_sessionize": SQL_EVENTS_SESSIONIZE,
+        "events_top_value": SQL_EVENTS_TOP_VALUE,
         "lang_quality": _sql_lang_quality(),
     }

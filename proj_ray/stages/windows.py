@@ -1,0 +1,136 @@
+"""Event-time windowing beyond tumbling windows: gap-based
+sessionization and grouped top-k.
+
+Sessionization (the classic streaming "session window"): consecutive
+events of one key belong to the same session while the gap between
+them stays under `gap`; a longer silence starts a new session.  Batch
+shape: all rows of a key co-locate via ONE hash-partition shuffle, then
+each partition resolves vectorized — sort by (key, time), session
+starts are `new-key OR gap-exceeded`, session ids are a cumsum.  The
+same result a stateful stream processor computes with watermarks falls
+out of a sort within each partition (event-time processing over a
+bounded slice); late data is simply part of the sort.
+
+Grouped top-k: per-batch C++ selection first (every batch emits at most
+k rows per key it contains), then one hash-partition shuffle of the
+bounded partials and an exact per-partition refine — the combiner
+pattern the kNN/ANN stages use, generalized to any (key, score)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _part(vals: np.ndarray, n: int) -> np.ndarray:
+    return ((vals.astype(np.uint64) * _MIX) % np.uint64(n)).astype(np.int64)
+
+
+def sessionize(ds, key: str, time: str, gap_s: float,
+               num_partitions: int = 32, tiebreak: str | None = None):
+    """Assign (session_id, session_seq) to every row: session_id counts
+    a key's sessions in time order starting at 0; session_seq is the
+    row's position within its session.  Gap semantics: a row starts a
+    NEW session iff its distance to the previous row of the same key
+    is STRICTLY greater than `gap_s` seconds (ties stay in-session),
+    matching `ts - lag(ts) > INTERVAL gap` in SQL.  `tiebreak` names a
+    column ordering equal-time rows (session_seq is otherwise
+    nondeterministic under timestamp ties)."""
+    def add_part(t: pa.Table) -> pa.Table:
+        k = t.column(key).to_numpy(zero_copy_only=False)
+        return t.append_column("__part",
+                               pa.array(_part(k, num_partitions)))
+
+    def resolve(t: pa.Table) -> pa.Table:
+        k = t.column(key).to_numpy(zero_copy_only=False)
+        tm = t.column(time).to_numpy(zero_copy_only=False)
+        if tm.dtype.kind == "M":
+            unit = np.datetime_data(tm.dtype)[0]
+            per_s = {"s": 1, "ms": 10**3, "us": 10**6, "ns": 10**9}[unit]
+            tv = tm.view(np.int64)
+            gap = gap_s * per_s
+        else:
+            tv = tm.astype(np.float64)
+            gap = gap_s
+        if tiebreak is not None:
+            tb = t.column(tiebreak).to_numpy(zero_copy_only=False)
+            order = np.lexsort((tb, tv, k))
+        else:
+            order = np.lexsort((tv, k))
+        ks, ts = k[order], tv[order]
+        n = len(order)
+        if n == 0:
+            return t.drop_columns(["__part"]).append_column(
+                "session_id", pa.array([], type=pa.int64())) \
+                .append_column("session_seq",
+                               pa.array([], type=pa.int64()))
+        new_key = np.empty(n, dtype=bool)
+        new_key[0] = True
+        new_key[1:] = ks[1:] != ks[:-1]
+        new_sess = new_key.copy()
+        new_sess[1:] |= (ts[1:] - ts[:-1]) > gap
+        # session_id restarts at 0 per key: global cumsum of session
+        # starts minus the key's first session number
+        sess_global = np.cumsum(new_sess) - 1
+        key_first = np.maximum.accumulate(
+            np.where(new_key, sess_global, -1))
+        session_id = sess_global - key_first
+        # position within session
+        row = np.arange(n, dtype=np.int64)
+        sess_start_row = np.maximum.accumulate(np.where(new_sess, row, -1))
+        session_seq = row - sess_start_row
+        inv = np.empty(n, dtype=np.int64)
+        inv[order] = np.arange(n)
+        out = t.drop_columns(["__part"])
+        out = out.append_column("session_id",
+                                pa.array(session_id[inv]))
+        return out.append_column("session_seq",
+                                 pa.array(session_seq[inv]))
+
+    return ds.map_batches(add_part, batch_format="pyarrow") \
+        .groupby("__part").map_groups(resolve, batch_format="pyarrow")
+
+
+def grouped_top_k(ds, key: str, score: str, k: int,
+                  num_partitions: int = 32, descending: bool = True,
+                  tiebreak: str | None = None):
+    """Exact per-key top-k by score.  Every batch first reduces to at
+    most k rows per key it contains (bounded partial), so the shuffle
+    moves O(keys * k), never the corpus.  `tiebreak` orders equal
+    scores (ascending); without it, equal-score selection follows
+    block order and is nondeterministic across runs."""
+    def partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return t
+        kv = t.column(key).to_numpy(zero_copy_only=False)
+        sv = t.column(score).to_numpy(zero_copy_only=False)
+        keys = [-sv if descending else sv, kv]
+        if tiebreak is not None:
+            tb = t.column(tiebreak).to_numpy(zero_copy_only=False)
+            keys.insert(0, tb)
+        order = np.lexsort(tuple(keys))
+        ks = kv[order]
+        new_key = np.empty(len(ks), dtype=bool)
+        if len(ks):
+            new_key[0] = True
+            new_key[1:] = ks[1:] != ks[:-1]
+        row = np.arange(len(ks), dtype=np.int64)
+        start = np.maximum.accumulate(np.where(new_key, row, -1))
+        rank = row - start
+        keep = order[rank < k]
+        return t.take(pa.array(np.sort(keep)))
+
+    def add_part(t: pa.Table) -> pa.Table:
+        kv = t.column(key).to_numpy(zero_copy_only=False)
+        return t.append_column("__part",
+                               pa.array(_part(kv, num_partitions)))
+
+    def refine(t: pa.Table) -> pa.Table:
+        out = partial(t.drop_columns(["__part"]))
+        return out
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .map_batches(add_part, batch_format="pyarrow") \
+        .groupby("__part").map_groups(refine, batch_format="pyarrow")

@@ -1,0 +1,93 @@
+"""Sessionization and grouped top-k vs driver-side pandas references."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _events(n=800, users=15, seed=3):
+    rng = np.random.default_rng(seed)
+    return pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.integers(0, users, n),
+        "ts": pd.to_datetime(np.sort(rng.integers(0, 10**6, n)),
+                             unit="s"),
+        "value": rng.normal(size=n),
+    })
+
+
+def _ref_sessions(df: pd.DataFrame, gap_s: float) -> pd.DataFrame:
+    df = df.sort_values(["user_id", "ts", "event_id"]).copy()
+    new = (df.groupby("user_id")["ts"].diff()
+           > pd.Timedelta(seconds=gap_s))
+    new |= df.groupby("user_id").cumcount() == 0
+    df["session_id"] = new.groupby(df["user_id"]).cumsum() - 1
+    df["session_seq"] = df.groupby(["user_id", "session_id"]).cumcount()
+    return df
+
+
+def test_sessionize_matches_pandas(ray_session):
+    import ray.data as rd
+
+    from proj_ray.stages.windows import sessionize
+
+    df = _events()
+    out = sessionize(rd.from_pandas(df[["event_id", "user_id", "ts"]]),
+                     key="user_id", time="ts", gap_s=900,
+                     tiebreak="event_id", num_partitions=8).to_pandas()
+    want = _ref_sessions(df, 900)
+    merged = out.merge(
+        want[["event_id", "session_id", "session_seq"]],
+        on="event_id", suffixes=("", "_want"))
+    assert (merged["session_id"] == merged["session_id_want"]).all()
+    assert (merged["session_seq"] == merged["session_seq_want"]).all()
+
+
+def test_sessionize_gap_boundary(ray_session):
+    """Distance EXACTLY equal to the gap stays in-session (strictly
+    greater starts a new one) — the `> INTERVAL` SQL semantics."""
+    import ray.data as rd
+
+    from proj_ray.stages.windows import sessionize
+
+    df = pd.DataFrame({
+        "event_id": np.arange(3, dtype=np.int64),
+        "user_id": np.zeros(3, dtype=np.int64),
+        "ts": pd.to_datetime([0, 100, 201], unit="s"),
+    })
+    out = sessionize(rd.from_pandas(df), key="user_id", time="ts",
+                     gap_s=100, tiebreak="event_id").to_pandas() \
+        .sort_values("event_id")
+    assert out["session_id"].tolist() == [0, 0, 1]
+    assert out["session_seq"].tolist() == [0, 1, 0]
+
+
+def test_grouped_top_k(ray_session):
+    import ray.data as rd
+
+    from proj_ray.stages.windows import grouped_top_k
+
+    df = _events(600, users=10, seed=9)
+    out = grouped_top_k(
+        rd.from_pandas(df[["event_id", "user_id", "value"]]),
+        key="user_id", score="value", k=4, tiebreak="event_id",
+        num_partitions=8).to_pandas()
+    want = df.sort_values(["value", "event_id"],
+                          ascending=[False, True]) \
+        .groupby("user_id").head(4)
+    assert sorted(out["event_id"]) == sorted(want["event_id"])
+
+
+def test_grouped_top_k_fewer_than_k(ray_session):
+    import ray.data as rd
+
+    from proj_ray.stages.windows import grouped_top_k
+
+    df = pd.DataFrame({
+        "event_id": np.arange(2, dtype=np.int64),
+        "user_id": np.array([1, 2], dtype=np.int64),
+        "value": [0.5, 0.7],
+    })
+    out = grouped_top_k(rd.from_pandas(df), key="user_id",
+                        score="value", k=10).to_pandas()
+    assert sorted(out["event_id"]) == [0, 1]
