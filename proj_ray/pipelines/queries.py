@@ -1160,6 +1160,29 @@ SELECT event_id, user_id, value FROM (
 """
 
 
+def q_orders_pctile(sf_dir: str):
+    """Exact per-priority price quantiles (median + p90) — the
+    bounded-key holistic-aggregate path; approx_quantiles is the
+    unbounded/sketch path (accuracy-bound tested, not SQL-matchable)."""
+    import ray.data as rd
+
+    from proj_ray.stages.quantiles import group_quantiles
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderpriority", "o_totalprice"])
+    return group_quantiles(orders, key="o_orderpriority",
+                           col="o_totalprice", qs=[0.5, 0.9],
+                           out_names=["median_price", "p90_price"])
+
+
+SQL_ORDERS_PCTILE = """
+SELECT o_orderpriority,
+       round(quantile_cont(o_totalprice, 0.5), 6) AS median_price,
+       round(quantile_cont(o_totalprice, 0.9), 6) AS p90_price
+FROM orders GROUP BY o_orderpriority
+"""
+
+
 def q_doc_sample(sf_dir: str):
     """Deterministic 10% corpus sample: keep iff the Knuth
     multiplicative hash of doc_id clears the rate threshold — the
@@ -1464,6 +1487,7 @@ def build_queries():
         "events_asof": q_events_asof,
         "events_sessionize": q_events_sessionize,
         "events_top_value": q_events_top_value,
+        "orders_pctile": q_orders_pctile,
         "simhash_pairs": q_simhash_pairs,
         "embedding_near_dup": q_embedding_near_dup,
         "ann_ivf": q_ann_ivf,
@@ -1504,5 +1528,6 @@ def build_oracles():
         "events_asof": SQL_EVENTS_ASOF,
         "events_sessionize": SQL_EVENTS_SESSIONIZE,
         "events_top_value": SQL_EVENTS_TOP_VALUE,
+        "orders_pctile": SQL_ORDERS_PCTILE,
         "lang_quality": _sql_lang_quality(),
     }
