@@ -1160,6 +1160,70 @@ SELECT event_id, user_id, value FROM (
 """
 
 
+def q_customer_region(sf_dir: str):
+    """Dimension joins as broadcasts: customers resolve nation ->
+    region through two per-worker cached lookup tables (the fact stream
+    never shuffles), then a combine-tree aggregate per region."""
+    import ray.data as rd
+
+    from proj_ray.stages.agg import tree_aggregate
+    from proj_ray.stages.relational import broadcast_join
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_nationkey",
+                                    "c_acctbal"])
+    nation = pa.concat_tables(
+        [b for b in rd.read_parquet(
+            f"{sf_dir}/nation.parquet",
+            columns=["n_nationkey", "n_regionkey"])
+         .iter_batches(batch_format="pyarrow")],
+        promote_options="default")
+    region = pa.concat_tables(
+        [b for b in rd.read_parquet(
+            f"{sf_dir}/region.parquet",
+            columns=["r_regionkey", "r_name"])
+         .iter_batches(batch_format="pyarrow")],
+        promote_options="default")
+
+    j = broadcast_join(cust, nation, key="c_nationkey",
+                       right_key="n_nationkey")
+    j = broadcast_join(j, region, key="n_regionkey",
+                       right_key="r_regionkey")
+
+    def partial(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "r_name": t.column("r_name"),
+            "n_customers": pa.array(np.ones(len(t), dtype=np.int64)),
+            "sum_acctbal": t.column("c_acctbal"),
+        })
+
+    agg = tree_aggregate(j.map_batches(partial, batch_format="pyarrow"),
+                         ["r_name"], [("n_customers", "sum"),
+                                      ("sum_acctbal", "sum")])
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "r_name": t.column("r_name"),
+            "n_customers": t.column("n_customers"),
+            "sum_acctbal": pa.array(np.round(
+                t.column("sum_acctbal").to_numpy(zero_copy_only=False),
+                2)),
+        })
+
+    return agg.map_batches(fin, batch_format="pyarrow")
+
+
+SQL_CUSTOMER_REGION = """
+SELECT r.r_name,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       round(sum(c.c_acctbal), 2) AS sum_acctbal
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+"""
+
+
 def q_orders_pctile(sf_dir: str):
     """Exact per-priority price quantiles (median + p90) — the
     bounded-key holistic-aggregate path; approx_quantiles is the
@@ -1488,6 +1552,7 @@ def build_queries():
         "events_sessionize": q_events_sessionize,
         "events_top_value": q_events_top_value,
         "orders_pctile": q_orders_pctile,
+        "customer_region": q_customer_region,
         "simhash_pairs": q_simhash_pairs,
         "embedding_near_dup": q_embedding_near_dup,
         "ann_ivf": q_ann_ivf,
@@ -1529,5 +1594,6 @@ def build_oracles():
         "events_sessionize": SQL_EVENTS_SESSIONIZE,
         "events_top_value": SQL_EVENTS_TOP_VALUE,
         "orders_pctile": SQL_ORDERS_PCTILE,
+        "customer_region": SQL_CUSTOMER_REGION,
         "lang_quality": _sql_lang_quality(),
     }

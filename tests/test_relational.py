@@ -1,0 +1,75 @@
+"""broadcast_join vs pandas merge ground truth."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _run(big: pd.DataFrame, small: pa.Table, how: str, **kw):
+    import ray.data as rd
+
+    from proj_ray.stages.relational import broadcast_join
+
+    out = broadcast_join(rd.from_pandas(big), small, how=how, **kw)
+    return out.to_pandas().sort_values("row_id").reset_index(drop=True)
+
+
+def _frames(seed=7, n=400, n_keys=25):
+    rng = np.random.default_rng(seed)
+    big = pd.DataFrame({
+        "row_id": np.arange(n, dtype=np.int64),
+        # keys 0..n_keys+4: the top 5 have no small-side match
+        "k": rng.integers(0, n_keys + 5, n),
+        "v": rng.normal(size=n),
+    })
+    small = pa.table({
+        "sk": pa.array(rng.permutation(n_keys).astype(np.int64)),
+        "label": [f"g{i % 4}" for i in range(n_keys)],
+    })
+    return big, small
+
+
+def test_inner_matches_pandas():
+    big, small = _frames()
+    got = _run(big, small, "inner", key="k", right_key="sk")
+    want = big.merge(small.to_pandas(), left_on="k", right_on="sk")
+    want = want.drop(columns=["sk"]).sort_values("row_id")
+    want = want.reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["row_id", "k", "v", "label"]],
+        want[["row_id", "k", "v", "label"]])
+
+
+def test_left_keeps_unmatched_with_nulls():
+    big, small = _frames()
+    got = _run(big, small, "left", key="k", right_key="sk")
+    assert len(got) == len(big)
+    unmatched = got[got["k"] >= 25]
+    assert len(unmatched) > 0
+    assert unmatched["label"].isna().all()
+    matched = got[got["k"] < 25]
+    want = big.merge(small.to_pandas(), left_on="k", right_on="sk")
+    lut = dict(zip(want["k"], want["label"]))
+    assert (matched["label"] == matched["k"].map(lut)).all()
+
+
+def test_all_miss_batch_keeps_schema():
+    """A batch with zero matches must emit the same schema/types as a
+    hitting batch (the empty-batch bug class from VERDICT r2 item 3)."""
+    import ray.data as rd
+
+    from proj_ray.stages.relational import broadcast_join
+
+    big = pd.DataFrame({"row_id": np.arange(5, dtype=np.int64),
+                        "k": np.full(5, 999, dtype=np.int64)})
+    small = pa.table({"sk": pa.array([1, 2], type=pa.int64()),
+                      "label": ["a", "b"]})
+    out = broadcast_join(rd.from_pandas(big), small,
+                         key="k", right_key="sk", how="inner")
+    tbl = pa.concat_tables(
+        [b for b in out.iter_batches(batch_format="pyarrow")],
+        promote_options="none") if out.count() else None
+    schema = out.schema()
+    assert out.count() == 0
+    assert schema.names == ["row_id", "k", "label"]
+    assert tbl is None
