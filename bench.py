@@ -55,6 +55,11 @@ QUERY_NAMES = [
     "lang_quality",
     "span_sequence",
     "hex_histogram",
+    "events_asof",
+    "events_sessionize",
+    "orders_pctile",
+    "customer_region",
+    "order_revenue",
 ]
 
 

@@ -1213,6 +1213,50 @@ def q_customer_region(sf_dir: str):
     return agg.map_batches(fin, batch_format="pyarrow")
 
 
+def q_order_revenue(sf_dir: str):
+    """Large-large shuffle equi-join (lineitem x orders on orderkey:
+    neither side fits a worker, so both hash-partition), then partial
+    revenue aggregation per batch before the tiny priority groupby —
+    the shuffle moves each row once and the aggregate adds no second
+    exchange."""
+    import ray.data as rd
+
+    from proj_ray.stages.agg import tree_aggregate
+    from proj_ray.stages.relational import shuffle_join
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_extendedprice",
+                                  "l_discount"])
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_orderpriority"])
+    j = shuffle_join(li, orders, on="l_orderkey", right_on="o_orderkey")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(
+            revenue=df["l_extendedprice"] * (1 - df["l_discount"]))
+        return df.groupby("o_orderpriority", as_index=False).agg(
+            revenue=("revenue", "sum"),
+            n_items=("revenue", "count"))
+
+    agg = tree_aggregate(j.map_batches(partial, batch_format="pandas"),
+                         ["o_orderpriority"],
+                         [("revenue", "sum"), ("n_items", "sum")])
+    return agg.map_batches(
+        lambda df: df.assign(revenue=np.round(df["revenue"], 2),
+                             n_items=df["n_items"].astype("int64")),
+        batch_format="pandas")
+
+
+SQL_ORDER_REVENUE = """
+SELECT o.o_orderpriority,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+"""
+
+
 SQL_CUSTOMER_REGION = """
 SELECT r.r_name,
        CAST(count(*) AS BIGINT) AS n_customers,
@@ -1553,6 +1597,7 @@ def build_queries():
         "events_top_value": q_events_top_value,
         "orders_pctile": q_orders_pctile,
         "customer_region": q_customer_region,
+        "order_revenue": q_order_revenue,
         "simhash_pairs": q_simhash_pairs,
         "embedding_near_dup": q_embedding_near_dup,
         "ann_ivf": q_ann_ivf,
@@ -1595,5 +1640,6 @@ def build_oracles():
         "events_top_value": SQL_EVENTS_TOP_VALUE,
         "orders_pctile": SQL_ORDERS_PCTILE,
         "customer_region": SQL_CUSTOMER_REGION,
+        "order_revenue": SQL_ORDER_REVENUE,
         "lang_quality": _sql_lang_quality(),
     }

@@ -8,16 +8,45 @@ a worker's heap (dimension tables, lookup maps): at 100 TB the fact
 stream flows through unmoved while nation/region/config tables ride
 along as a few KB of plasma.
 
-For large-large equi-joins use the key-partitioned pattern
-(`asof.asof_join` without the time axis, or Dataset.join); this module
-deliberately covers only the broadcast case, which dominates real
-pipelines.
+shuffle_join: the large-large case — both sides hash-partition on the
+key (Ray's Dataset.join → per-partition Acero hash join).  This is an
+all-to-all exchange of both inputs, so use it only when neither side
+fits a worker (fact ⋈ fact); the partition count is sized to the
+cluster because every partition pins an aggregator actor.
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+
+
+def _join_partitions(cap: int = 16) -> int:
+    """Each hash-join partition pins an aggregator actor: more
+    partitions than cores deadlocks small clusters, too few
+    under-parallelizes large ones."""
+    import ray
+
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+    except Exception:
+        cpus = 4
+    return max(2, min(cap, cpus // 2))
+
+
+def shuffle_join(left_ds, right_ds, on: str, right_on: str | None = None,
+                 how: str = "inner", num_partitions: int | None = None):
+    """Key-partitioned equi-join of two large Datasets.
+
+    Both sides shuffle; rows co-locate by key hash and each partition
+    joins locally.  At 100 TB this is the expensive path — prefer
+    `broadcast_join` whenever one side is bounded.
+    """
+    nparts = num_partitions or _join_partitions()
+    return left_ds.join(right_ds, join_type=how,
+                        num_partitions=nparts,
+                        on=(on,),
+                        right_on=(right_on or on,))
 
 
 def broadcast_join(big_ds, small_tbl: pa.Table, key: str,

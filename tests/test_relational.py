@@ -53,6 +53,24 @@ def test_left_keeps_unmatched_with_nulls():
     assert (matched["label"] == matched["k"].map(lut)).all()
 
 
+def test_shuffle_join_matches_pandas():
+    import ray.data as rd
+
+    from proj_ray.stages.relational import shuffle_join
+
+    big, small = _frames(seed=3, n=600, n_keys=40)
+    right = small.to_pandas().rename(columns={"sk": "rk"})
+    out = shuffle_join(rd.from_pandas(big), rd.from_pandas(right),
+                       on="k", right_on="rk", num_partitions=5)
+    got = out.to_pandas().sort_values("row_id").reset_index(drop=True)
+    want = big.merge(right, left_on="k", right_on="rk") \
+        .sort_values("row_id").reset_index(drop=True)
+    assert len(got) == len(want)
+    pd.testing.assert_frame_equal(
+        got[["row_id", "k", "v", "label"]],
+        want[["row_id", "k", "v", "label"]])
+
+
 def test_all_miss_batch_keeps_schema():
     """A batch with zero matches must emit the same schema/types as a
     hitting batch (the empty-batch bug class from VERDICT r2 item 3)."""
