@@ -1229,14 +1229,25 @@ def q_order_revenue(sf_dir: str):
                                   "l_discount"])
     orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
                              columns=["o_orderkey", "o_orderpriority"])
-    j = shuffle_join(li, orders, on="l_orderkey", right_on="o_orderkey")
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
+    # pre-aggregate per orderkey inside each batch BEFORE the shuffle:
+    # lineitem is clustered by orderkey, so the ~4 items per order
+    # collapse locally and the join moves ~4x fewer rows
+    def li_partial(df: pd.DataFrame) -> pd.DataFrame:
         df = df.assign(
             revenue=df["l_extendedprice"] * (1 - df["l_discount"]))
-        return df.groupby("o_orderpriority", as_index=False).agg(
+        return df.groupby("l_orderkey", as_index=False).agg(
             revenue=("revenue", "sum"),
             n_items=("revenue", "count"))
+
+    li_pre = li.map_batches(li_partial, batch_format="pandas")
+    j = shuffle_join(li_pre, orders, on="l_orderkey",
+                     right_on="o_orderkey")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("o_orderpriority", as_index=False).agg(
+            revenue=("revenue", "sum"),
+            n_items=("n_items", "sum"))
 
     agg = tree_aggregate(j.map_batches(partial, batch_format="pandas"),
                          ["o_orderpriority"],
