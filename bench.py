@@ -60,6 +60,7 @@ QUERY_NAMES = [
     "orders_pctile",
     "customer_region",
     "order_revenue",
+    "events_promo",
 ]
 
 

@@ -1160,6 +1160,71 @@ SELECT event_id, user_id, value FROM (
 """
 
 
+def q_events_promo(sf_dir: str):
+    """Range (interval) join: 16 deterministic overlapping promo
+    windows derived from the event-time span, broadcast and
+    segment-decomposed on the driver; every event fans out to the
+    windows containing its timestamp with two vectorized searchsorted
+    passes per batch (the event stream never shuffles), then a
+    combine-tree aggregate per window."""
+    import ray.data as rd
+    from ray.data.aggregate import Max, Min
+
+    from proj_ray.stages.agg import tree_aggregate
+    from proj_ray.stages.relational import interval_join
+
+    ts_only = rd.read_parquet(f"{sf_dir}/events.parquet",
+                              columns=["ts"])
+    mm = ts_only.aggregate(Min("ts"), Max("ts"))
+    day_us = 86_400_000_000
+    t0 = (int(pd.Timestamp(mm["min(ts)"]).value) // 1000
+          // day_us) * day_us
+    t1 = int(pd.Timestamp(mm["max(ts)"]).value) // 1000
+    step, width = (t1 - t0) // 16, (t1 - t0) // 10
+    ids = np.arange(16, dtype=np.int64)
+    windows = pa.table({
+        "promo_id": pa.array(ids),
+        "ws": pa.array(t0 + ids * step),
+        "we": pa.array(t0 + ids * step + width),
+    })
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "value"])
+    j = interval_join(ev, windows, on="ts", start="ws", end="we")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("promo_id", as_index=False).agg(
+            n_events=("value", "count"),
+            sum_value=("value", "sum"))
+
+    agg = tree_aggregate(j.map_batches(partial, batch_format="pandas"),
+                         ["promo_id"],
+                         [("n_events", "sum"), ("sum_value", "sum")])
+    return agg.map_batches(
+        lambda df: df.assign(n_events=df["n_events"].astype("int64"),
+                             sum_value=np.round(df["sum_value"], 2)),
+        batch_format="pandas")
+
+
+SQL_EVENTS_PROMO = """
+WITH b AS (
+  SELECT CAST(epoch_us(date_trunc('day', min(ts))) AS BIGINT) AS t0,
+         CAST(epoch_us(max(ts)) AS BIGINT) AS t1
+  FROM events),
+w AS (
+  SELECT CAST(i.range AS BIGINT) AS promo_id,
+         t0 + i.range * ((t1 - t0) // 16) AS ws,
+         t0 + i.range * ((t1 - t0) // 16) + (t1 - t0) // 10 AS we
+  FROM b, range(16) i)
+SELECT w.promo_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(e.value), 2) AS sum_value
+FROM events e
+JOIN w ON epoch_us(e.ts) >= w.ws AND epoch_us(e.ts) <= w.we
+GROUP BY w.promo_id
+"""
+
+
 def q_customer_region(sf_dir: str):
     """Dimension joins as broadcasts: customers resolve nation ->
     region through two per-worker cached lookup tables (the fact stream
@@ -1609,6 +1674,7 @@ def build_queries():
         "orders_pctile": q_orders_pctile,
         "customer_region": q_customer_region,
         "order_revenue": q_order_revenue,
+        "events_promo": q_events_promo,
         "simhash_pairs": q_simhash_pairs,
         "embedding_near_dup": q_embedding_near_dup,
         "ann_ivf": q_ann_ivf,
@@ -1652,5 +1718,6 @@ def build_oracles():
         "orders_pctile": SQL_ORDERS_PCTILE,
         "customer_region": SQL_CUSTOMER_REGION,
         "order_revenue": SQL_ORDER_REVENUE,
+        "events_promo": SQL_EVENTS_PROMO,
         "lang_quality": _sql_lang_quality(),
     }

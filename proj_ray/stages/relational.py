@@ -34,6 +34,80 @@ def _join_partitions(cap: int = 16) -> int:
     return max(2, min(cap, cpus // 2))
 
 
+def interval_join(big_ds, intervals: pa.Table, on: str,
+                  start: str, end: str, id_cols: list[str] | None = None):
+    """Range join: match each big-side row whose `on` value falls
+    inside an interval `[start, end]` (inclusive) of the broadcast
+    side; rows matching k intervals emit k output rows.
+
+    The intervals (possibly overlapping) are decomposed ONCE on the
+    driver into elementary non-overlapping segments with a CSR
+    covering-list, so each batch does two vectorized searchsorted +
+    repeat/gather passes — no per-row loop, no shuffle of the big
+    side.  Sized for a broadcast side up to ~10^4 intervals; beyond
+    that partition the big side by range instead.
+
+    Values are compared in int64 space (timestamps are viewed as
+    microseconds), so bounds are exact.
+    """
+    import ray
+
+    id_cols = id_cols or [c for c in intervals.column_names
+                          if c not in (start, end)]
+
+    def _as_i64(arr) -> np.ndarray:
+        a = np.asarray(arr)
+        if np.issubdtype(a.dtype, np.datetime64):
+            return a.astype("datetime64[us]").view(np.int64)
+        return a.astype(np.int64)
+
+    s = _as_i64(intervals.column(start).to_numpy(zero_copy_only=False))
+    e = _as_i64(intervals.column(end).to_numpy(zero_copy_only=False))
+    if (e < s).any():
+        raise ValueError("interval_join: end < start")
+    # inclusive [s, e] == half-open [s, e+1) on the integer lattice
+    bounds = np.unique(np.concatenate([s, e + 1]))
+    n_seg = len(bounds) - 1
+    # coverage matrix (K x n_seg): interval k covers segment i iff
+    # s[k] <= bounds[i] <= e[k]
+    cov = (s[:, None] <= bounds[None, :-1]) & (bounds[None, :-1] <= e[:, None])
+    seg_counts = cov.sum(axis=0).astype(np.int64)
+    seg_offsets = np.concatenate([[0], np.cumsum(seg_counts)])
+    seg_ids = np.nonzero(cov.T)[1].astype(np.int64)  # row-major by segment
+    meta_ref = ray.put((bounds, seg_counts, seg_offsets, seg_ids,
+                        intervals.select(id_cols).combine_chunks()))
+
+    def join_batch(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        from proj_ray.stages.worker_cache import get_broadcast
+
+        bounds, seg_counts, seg_offsets, seg_ids, ids = \
+            get_broadcast(meta_ref)
+        x = _as_i64(t.column(on).to_numpy(zero_copy_only=False))
+        pos = np.searchsorted(bounds, x, side="right") - 1
+        valid = (pos >= 0) & (pos < len(bounds) - 1)
+        pos_c = np.where(valid, pos, 0)
+        counts = np.where(valid, seg_counts[pos_c], 0)
+        row_idx = np.repeat(np.arange(len(t)), counts)
+        # gather covering-interval indices: for each emitted row j,
+        # seg_ids[offset(pos)+rank within its point's run]
+        ends_ = np.cumsum(counts)
+        run_rank = np.arange(int(ends_[-1]) if len(ends_) else 0) \
+            - np.repeat(ends_ - counts, counts)
+        iv_idx = seg_ids[seg_offsets[pos_c][row_idx] + run_rank]
+        cols = {}
+        take_rows = pa.array(row_idx)
+        for c in t.column_names:
+            cols[c] = pc.take(t.column(c), take_rows)
+        take_iv = pa.array(iv_idx)
+        for c in ids.column_names:
+            cols[c] = pc.take(ids.column(c), take_iv)
+        return pa.table(cols)
+
+    return big_ds.map_batches(join_batch, batch_format="pyarrow")
+
+
 def shuffle_join(left_ds, right_ds, on: str, right_on: str | None = None,
                  how: str = "inner", num_partitions: int | None = None):
     """Key-partitioned equi-join of two large Datasets.

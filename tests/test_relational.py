@@ -71,6 +71,62 @@ def test_shuffle_join_matches_pandas():
         want[["row_id", "k", "v", "label"]])
 
 
+def _interval_reference(big, iv):
+    rows = []
+    for _, r in big.iterrows():
+        for _, w in iv.iterrows():
+            if w["ws"] <= r["x"] <= w["we"]:
+                rows.append({**r.to_dict(), "win_id": w["win_id"]})
+    return pd.DataFrame(rows)
+
+
+def test_interval_join_overlapping_matches_bruteforce():
+    import ray.data as rd
+
+    from proj_ray.stages.relational import interval_join
+
+    rng = np.random.default_rng(5)
+    big = pd.DataFrame({
+        "row_id": np.arange(300, dtype=np.int64),
+        "x": rng.integers(0, 1000, 300),
+    })
+    iv = pd.DataFrame({
+        "win_id": np.arange(12, dtype=np.int64),
+        "ws": np.arange(12, dtype=np.int64) * 80,
+        "we": np.arange(12, dtype=np.int64) * 80 + 130,  # overlapping
+    })
+    out = interval_join(rd.from_pandas(big), pa.Table.from_pandas(iv),
+                        on="x", start="ws", end="we")
+    got = out.to_pandas().sort_values(["row_id", "win_id"]) \
+        .reset_index(drop=True)
+    want = _interval_reference(big, iv) \
+        .sort_values(["row_id", "win_id"]).reset_index(drop=True)
+    assert len(got) == len(want)
+    pd.testing.assert_frame_equal(got[["row_id", "x", "win_id"]],
+                                  want[["row_id", "x", "win_id"]])
+
+
+def test_interval_join_inclusive_bounds_and_timestamps():
+    import ray.data as rd
+
+    from proj_ray.stages.relational import interval_join
+
+    ts = pd.to_datetime(["2024-01-01", "2024-01-05", "2024-01-10",
+                         "2024-02-01"])
+    big = pd.DataFrame({"row_id": np.arange(4, dtype=np.int64),
+                        "ts": ts})
+    iv = pa.table({
+        "win_id": pa.array([0], type=pa.int64()),
+        "ws": pa.array([pd.Timestamp("2024-01-01")]),
+        "we": pa.array([pd.Timestamp("2024-01-10")]),
+    })
+    out = interval_join(rd.from_pandas(big), iv,
+                        on="ts", start="ws", end="we")
+    got = out.to_pandas()
+    # both endpoints inclusive, the February point excluded
+    assert sorted(got["row_id"]) == [0, 1, 2]
+
+
 def test_all_miss_batch_keeps_schema():
     """A batch with zero matches must emit the same schema/types as a
     hitting batch (the empty-batch bug class from VERDICT r2 item 3)."""
