@@ -61,6 +61,7 @@ QUERY_NAMES = [
     "customer_region",
     "order_revenue",
     "events_promo",
+    "tile_regions",
 ]
 
 

@@ -390,6 +390,63 @@ def _sql_tile_histogram() -> str:
               "CAST(COUNT(*) AS BIGINT) AS n FROM coords GROUP BY 1")
 
 
+def q_tile_regions(sf_dir: str):
+    """Raster -> vector: build the z8 occupied-tile raster, then
+    vectorize it into 4-connected region features (connected
+    components over cell adjacency, per-region cell/point counts and
+    cell-space bbox).  The raster is the reduced product, so
+    membership/labels broadcast while edge generation and the final
+    aggregate stay distributed."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lon = batch.column("lon").to_numpy(zero_copy_only=False)
+        lat = batch.column("lat").to_numpy(zero_copy_only=False)
+        tx, ty = tile_xy(lon, lat, 8)
+        tid = ty * 256 + tx
+        ids, counts = np.unique(tid, return_counts=True)
+        return pa.table({"tile": pa.array(ids.astype(np.int64)),
+                         "n": pa.array(counts.astype(np.int64))})
+
+    from proj_ray.spatial.vectorize import raster_regions
+    from proj_ray.stages.agg import tree_aggregate
+
+    ds = coords_dataset(sf_dir).map_batches(partial, batch_format="pyarrow")
+    tiles = tree_aggregate(ds, ["tile"], [("n", "sum")])
+    return raster_regions(tiles, tile_col="tile", weight_col="n",
+                          width=256)
+
+
+def _sql_tile_regions() -> str:
+    txs, tys = sql_tile_exprs("lon", "lat", 8)
+    return f"""
+WITH RECURSIVE {sql_coords_cte()},
+cells AS (
+  SELECT ({tys}) * 256 + ({txs}) AS tile,
+         CAST(count(*) AS BIGINT) AS n
+  FROM coords GROUP BY 1),
+e0 AS (
+  SELECT a.tile AS ta, b.tile AS tb
+  FROM cells a JOIN cells b
+    ON (b.tile = a.tile + 1 AND (a.tile % 256) < 255)
+    OR b.tile = a.tile + 256),
+e2 AS (SELECT ta, tb FROM e0 UNION ALL SELECT tb AS ta, ta AS tb FROM e0),
+reach(a, b) AS (
+  SELECT tile, tile FROM cells
+  UNION
+  SELECT r.a, e.tb FROM reach r JOIN e2 e ON r.b = e.ta),
+labels AS (SELECT a AS tile, min(b) AS region_id FROM reach GROUP BY a)
+SELECT l.region_id,
+       CAST(count(*) AS BIGINT) AS n_cells,
+       CAST(sum(c.n) AS BIGINT) AS n_points,
+       CAST(min(c.tile % 256) AS BIGINT) AS min_tx,
+       CAST(max(c.tile % 256) AS BIGINT) AS max_tx,
+       CAST(min(c.tile // 256) AS BIGINT) AS min_ty,
+       CAST(max(c.tile // 256) AS BIGINT) AS max_ty
+FROM cells c JOIN labels l ON c.tile = l.tile
+GROUP BY 1
+"""
+
+
 def q_cell_histogram(sf_dir: str):
     """Skew detection histogram: exact count per cell."""
 
@@ -1675,6 +1732,7 @@ def build_queries():
         "customer_region": q_customer_region,
         "order_revenue": q_order_revenue,
         "events_promo": q_events_promo,
+        "tile_regions": q_tile_regions,
         "simhash_pairs": q_simhash_pairs,
         "embedding_near_dup": q_embedding_near_dup,
         "ann_ivf": q_ann_ivf,
@@ -1719,5 +1777,6 @@ def build_oracles():
         "customer_region": SQL_CUSTOMER_REGION,
         "order_revenue": SQL_ORDER_REVENUE,
         "events_promo": SQL_EVENTS_PROMO,
+        "tile_regions": _sql_tile_regions(),
         "lang_quality": _sql_lang_quality(),
     }
