@@ -62,6 +62,7 @@ QUERY_NAMES = [
     "order_revenue",
     "events_promo",
     "tile_regions",
+    "events_sliding",
 ]
 
 

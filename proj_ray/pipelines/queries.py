@@ -1282,6 +1282,49 @@ GROUP BY w.promo_id
 """
 
 
+def q_events_sliding(sf_dir: str):
+    """Sliding-window aggregate: 6-hour windows hopping every hour —
+    each event fans out to its 6 covering windows in one stateless
+    vectorized map (no sort, no shuffle), then the usual partial-agg +
+    combine-tree on (window_start, event_type)."""
+    import ray.data as rd
+
+    from proj_ray.stages.agg import tree_aggregate
+    from proj_ray.stages.windows import assign_sliding_windows
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "event_type", "value"])
+    fanned = assign_sliding_windows(ds, "ts", width_s=6 * 3600,
+                                    hop_s=3600)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["window_start", "event_type"],
+                       as_index=False)["value"].agg(["count", "sum"])
+        g.columns = ["window_start", "event_type", "n", "val_sum"]
+        return g
+
+    agg = tree_aggregate(fanned.map_batches(partial,
+                                            batch_format="pandas"),
+                         ["window_start", "event_type"],
+                         [("n", "sum"), ("val_sum", "sum")])
+    return agg.map_batches(
+        lambda df: df.assign(n=df["n"].astype("int64"),
+                             val_sum=np.round(df["val_sum"], 6)),
+        batch_format="pandas")
+
+
+SQL_EVENTS_SLIDING = """
+WITH e AS (SELECT epoch_us(ts) AS tu, event_type, value FROM events)
+SELECT make_timestamp((tu // 3600000000 - i.range) * 3600000000)
+         AS window_start,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 6) AS val_sum
+FROM e, range(6) i
+GROUP BY 1, 2
+"""
+
+
 def q_customer_region(sf_dir: str):
     """Dimension joins as broadcasts: customers resolve nation ->
     region through two per-worker cached lookup tables (the fact stream
@@ -1733,6 +1776,7 @@ def build_queries():
         "order_revenue": q_order_revenue,
         "events_promo": q_events_promo,
         "tile_regions": q_tile_regions,
+        "events_sliding": q_events_sliding,
         "simhash_pairs": q_simhash_pairs,
         "embedding_near_dup": q_embedding_near_dup,
         "ann_ivf": q_ann_ivf,
@@ -1778,5 +1822,6 @@ def build_oracles():
         "order_revenue": SQL_ORDER_REVENUE,
         "events_promo": SQL_EVENTS_PROMO,
         "tile_regions": _sql_tile_regions(),
+        "events_sliding": SQL_EVENTS_SLIDING,
         "lang_quality": _sql_lang_quality(),
     }

@@ -134,3 +134,34 @@ def grouped_top_k(ds, key: str, score: str, k: int,
     return ds.map_batches(partial, batch_format="pyarrow") \
         .map_batches(add_part, batch_format="pyarrow") \
         .groupby("__part").map_groups(refine, batch_format="pyarrow")
+
+
+def assign_sliding_windows(ds, time_col: str, width_s: int, hop_s: int,
+                           out_col: str = "window_start"):
+    """Hopping (sliding) window fan-out: each row replicates into the
+    width/hop epoch-aligned windows containing its event time, tagged
+    with the window's start as timestamp[us]; aggregate downstream on
+    (out_col, ...).  The fan-out is a stateless vectorized map — the
+    stream never sorts or shuffles here, and the blow-up factor is
+    exactly width/hop (keep it small at scale; for large ratios use a
+    tumbling pre-aggregate at hop granularity and combine hops
+    per window instead)."""
+    if width_s % hop_s:
+        raise ValueError("sliding window: width must be a multiple of hop")
+    nwin = width_s // hop_s
+    hop_us = hop_s * 1_000_000
+
+    def fan(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ts = t.column(time_col).to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").view(np.int64)
+        base = (ts // hop_us) * hop_us
+        starts = (base[:, None]
+                  - np.arange(nwin, dtype=np.int64)[None, :] * hop_us)
+        idx = pa.array(np.repeat(np.arange(len(t), dtype=np.int64), nwin))
+        cols = {c: pc.take(t.column(c), idx) for c in t.column_names}
+        cols[out_col] = pa.array(starts.ravel().astype("datetime64[us]"))
+        return pa.table(cols)
+
+    return ds.map_batches(fan, batch_format="pyarrow")

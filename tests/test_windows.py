@@ -91,3 +91,41 @@ def test_grouped_top_k_fewer_than_k(ray_session):
     out = grouped_top_k(rd.from_pandas(df), key="user_id",
                         score="value", k=10).to_pandas()
     assert sorted(out["event_id"]) == [0, 1]
+
+
+def test_sliding_window_fanout_and_membership():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from proj_ray.stages.windows import assign_sliding_windows
+
+    rng = np.random.default_rng(9)
+    ts = pd.Timestamp("2024-03-01") + pd.to_timedelta(
+        rng.integers(0, 72 * 3600, 200), unit="s")
+    df = pd.DataFrame({"eid": np.arange(200, dtype=np.int64), "ts": ts})
+    out = assign_sliding_windows(rd.from_pandas(df), "ts",
+                                 width_s=6 * 3600, hop_s=3600)
+    got = out.to_pandas()
+    # exact fan-out factor
+    assert len(got) == 200 * 6
+    assert got.groupby("eid").size().eq(6).all()
+    # every emitted window actually contains its event
+    w = got["window_start"]
+    assert (w <= got["ts"]).all()
+    assert (got["ts"] < w + pd.Timedelta(hours=6)).all()
+    # window starts are hop-aligned
+    us = w.to_numpy().astype("datetime64[us]").view("int64")
+    assert (us % (3600 * 10**6) == 0).all()
+
+
+def test_sliding_window_rejects_nonmultiple():
+    import pytest as _pytest
+    import ray.data as rd
+    import pandas as pd
+
+    from proj_ray.stages.windows import assign_sliding_windows
+
+    ds = rd.from_pandas(pd.DataFrame({"ts": pd.to_datetime(["2024-01-01"])}))
+    with _pytest.raises(ValueError):
+        assign_sliding_windows(ds, "ts", width_s=5000, hop_s=3600)
