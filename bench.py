@@ -63,6 +63,7 @@ QUERY_NAMES = [
     "events_promo",
     "tile_regions",
     "events_sliding",
+    "events_lag",
 ]
 
 

@@ -1325,6 +1325,47 @@ GROUP BY 1, 2
 """
 
 
+def q_events_lag(sf_dir: str):
+    """Row-level window function (LAG): per event, the same user's
+    previous value and the seconds elapsed since it — one key-hash
+    shuffle, per-partition lexsort + shifted gather.  Sentinel -1
+    stands in for the per-user first event (null-free comparator)."""
+    import ray.data as rd
+
+    from proj_ray.stages.windows import keyed_lag
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts", "value"])
+    lagged = keyed_lag(ds, key="user_id", time="ts",
+                       value_cols=["value", "ts"],
+                       tiebreak="event_id")
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        gap = (df["ts"].astype("datetime64[ns]").astype("int64")
+               - df["ts_lag"].astype("datetime64[ns]").astype("int64")
+               ) / 1e9
+        first = df["ts_lag"].isna()
+        return pd.DataFrame({
+            "event_id": df["event_id"],
+            "user_id": df["user_id"],
+            "prev_value": np.where(first, -1.0,
+                                   np.round(df["value_lag"], 6)),
+            "gap_s": np.where(first, -1.0, np.round(gap, 6)),
+        })
+
+    return lagged.map_batches(fin, batch_format="pandas")
+
+
+SQL_EVENTS_LAG = """
+SELECT event_id, user_id,
+       coalesce(round(lag(value) OVER w, 6), -1.0) AS prev_value,
+       coalesce(round((epoch_us(ts) - lag(epoch_us(ts)) OVER w)
+                      / 1000000.0, 6), -1.0) AS gap_s
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
 def q_customer_region(sf_dir: str):
     """Dimension joins as broadcasts: customers resolve nation ->
     region through two per-worker cached lookup tables (the fact stream
@@ -1777,6 +1818,7 @@ def build_queries():
         "events_promo": q_events_promo,
         "tile_regions": q_tile_regions,
         "events_sliding": q_events_sliding,
+        "events_lag": q_events_lag,
         "simhash_pairs": q_simhash_pairs,
         "embedding_near_dup": q_embedding_near_dup,
         "ann_ivf": q_ann_ivf,
@@ -1823,5 +1865,6 @@ def build_oracles():
         "events_promo": SQL_EVENTS_PROMO,
         "tile_regions": _sql_tile_regions(),
         "events_sliding": SQL_EVENTS_SLIDING,
+        "events_lag": SQL_EVENTS_LAG,
         "lang_quality": _sql_lang_quality(),
     }

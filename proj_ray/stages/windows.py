@@ -165,3 +165,52 @@ def assign_sliding_windows(ds, time_col: str, width_s: int, hop_s: int,
         return pa.table(cols)
 
     return ds.map_batches(fan, batch_format="pyarrow")
+
+
+def keyed_lag(ds, key: str, time: str, value_cols: list[str],
+              num_partitions: int = 32, tiebreak: str | None = None):
+    """Row-level window function: for each row, attach the previous
+    row's `value_cols` within its key in time order (`{c}_lag`
+    columns, null on each key's first row) — SQL's
+    ``LAG(c) OVER (PARTITION BY key ORDER BY time)``.  Same shape as
+    sessionize: one hash-partition shuffle co-locates each key, then
+    every partition resolves with one lexsort and shifted gathers."""
+    def add_part(t: pa.Table) -> pa.Table:
+        k = t.column(key).to_numpy(zero_copy_only=False)
+        return t.append_column("__part",
+                               pa.array(_part(k, num_partitions)))
+
+    def resolve(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = t.drop_columns(["__part"])
+        k = t.column(key).to_numpy(zero_copy_only=False)
+        tm = t.column(time).to_numpy(zero_copy_only=False)
+        tv = tm.view(np.int64) if tm.dtype.kind == "M" else tm
+        n = len(t)
+        if n == 0:
+            for c in value_cols:
+                t = t.append_column(f"{c}_lag", t.column(c))
+            return t
+        if tiebreak is not None:
+            tb = t.column(tiebreak).to_numpy(zero_copy_only=False)
+            order = np.lexsort((tb, tv, k))
+        else:
+            order = np.lexsort((tv, k))
+        ks = k[order]
+        first = np.empty(n, dtype=bool)
+        first[0] = True
+        first[1:] = ks[1:] != ks[:-1]
+        # previous row in sort order (clamped; masked where first-of-key)
+        prev = np.concatenate([[0], order[:-1]])
+        inv = np.empty(n, dtype=np.int64)
+        inv[order] = np.arange(n)
+        prev_orig = prev[inv]          # per original row: its predecessor
+        first_orig = first[inv]
+        idx = pa.array(prev_orig, type=pa.int64(), mask=first_orig)
+        for c in value_cols:
+            t = t.append_column(f"{c}_lag", pc.take(t.column(c), idx))
+        return t
+
+    return ds.map_batches(add_part, batch_format="pyarrow") \
+        .groupby("__part").map_groups(resolve, batch_format="pyarrow")

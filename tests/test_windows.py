@@ -129,3 +129,28 @@ def test_sliding_window_rejects_nonmultiple():
     ds = rd.from_pandas(pd.DataFrame({"ts": pd.to_datetime(["2024-01-01"])}))
     with _pytest.raises(ValueError):
         assign_sliding_windows(ds, "ts", width_s=5000, hop_s=3600)
+
+
+def test_keyed_lag_matches_pandas_shift():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from proj_ray.stages.windows import keyed_lag
+
+    rng = np.random.default_rng(4)
+    n = 500
+    df = pd.DataFrame({
+        "rid": np.arange(n, dtype=np.int64),
+        "k": rng.integers(0, 12, n),
+        "t": rng.integers(0, 10_000, n),
+        "v": rng.normal(size=n),
+    })
+    out = keyed_lag(rd.from_pandas(df), key="k", time="t",
+                    value_cols=["v"], tiebreak="rid")
+    got = out.to_pandas().sort_values("rid").reset_index(drop=True)
+    want = df.sort_values(["k", "t", "rid"])
+    want = want.assign(v_lag=want.groupby("k")["v"].shift(1))
+    want = want.sort_values("rid").reset_index(drop=True)
+    pd.testing.assert_series_equal(got["v_lag"], want["v_lag"],
+                                   check_names=False)
