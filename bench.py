@@ -64,6 +64,8 @@ QUERY_NAMES = [
     "tile_regions",
     "events_sliding",
     "events_lag",
+    "orders_top100",
+    "idle_customers",
 ]
 
 

@@ -1366,6 +1366,92 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 
+def q_idle_customers(sf_dir: str):
+    """Anti-join: customers with no high-value order (total price >
+    300k), counted per nation.  The orders side is predicate-pruned at
+    the read, then reduces to its DISTINCT customer keys (per-batch
+    unique + one keyed combine — output bounded by the customer
+    universe, not the order count), which broadcasts as the membership
+    set for a shuffle-free anti filter over the customer stream."""
+    import ray
+    import ray.data as rd
+    import pyarrow.dataset as pads
+
+    from proj_ray.stages.agg import tree_aggregate
+    from proj_ray.stages.relational import broadcast_join
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey"],
+        filter=pads.field("o_totalprice") > 300000.0)
+
+    def distinct_partial(t: pa.Table) -> pa.Table:
+        u = np.unique(t.column("o_custkey")
+                      .to_numpy(zero_copy_only=False))
+        return pa.table({"o_custkey": pa.array(u),
+                         "n": pa.array(np.ones(len(u), dtype=np.int64))})
+
+    active = tree_aggregate(
+        orders.map_batches(distinct_partial, batch_format="pyarrow"),
+        ["o_custkey"], [("n", "sum")]).materialize()
+    keys = pa.concat_tables(ray.get(active.to_arrow_refs()),
+                            promote_options="default") \
+        .select(["o_custkey"])
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_nationkey"])
+    idle = broadcast_join(cust, keys, key="c_custkey",
+                          right_key="o_custkey", how="anti")
+
+    def partial(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_nationkey": t.column("c_nationkey"),
+            "n_idle": pa.array(np.ones(len(t), dtype=np.int64)),
+        })
+
+    return tree_aggregate(idle.map_batches(partial,
+                                           batch_format="pyarrow"),
+                          ["c_nationkey"], [("n_idle", "sum")])
+
+
+SQL_IDLE_CUSTOMERS = """
+SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_idle
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_totalprice > 300000)
+GROUP BY c_nationkey
+"""
+
+
+def q_orders_top100(sf_dir: str):
+    """Global ordered top-N: distributed range-partitioned sort on
+    (price desc, key asc) + streaming limit; rank is attached to the
+    bounded 100-row result on the driver.  At scale prefer
+    grouped_top_k with a constant key (bounded partials, no full
+    sort) — this query exists to exercise Ray's sort operator and
+    pin its tie-break determinism against SQL row_number."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_orderkey", "o_totalprice"])
+    top = ds.sort(["o_totalprice", "o_orderkey"],
+                  descending=[True, False]).limit(100)
+    df = top.to_pandas()
+    df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
+    return df
+
+
+SQL_ORDERS_TOP100 = """
+SELECT o_orderkey, o_totalprice,
+       CAST(row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey)
+            AS BIGINT) AS rank
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+"""
+
+
 def q_customer_region(sf_dir: str):
     """Dimension joins as broadcasts: customers resolve nation ->
     region through two per-worker cached lookup tables (the fact stream
@@ -1819,6 +1905,8 @@ def build_queries():
         "tile_regions": q_tile_regions,
         "events_sliding": q_events_sliding,
         "events_lag": q_events_lag,
+        "orders_top100": q_orders_top100,
+        "idle_customers": q_idle_customers,
         "simhash_pairs": q_simhash_pairs,
         "embedding_near_dup": q_embedding_near_dup,
         "ann_ivf": q_ann_ivf,
@@ -1866,5 +1954,7 @@ def build_oracles():
         "tile_regions": _sql_tile_regions(),
         "events_sliding": SQL_EVENTS_SLIDING,
         "events_lag": SQL_EVENTS_LAG,
+        "orders_top100": SQL_ORDERS_TOP100,
+        "idle_customers": SQL_IDLE_CUSTOMERS,
         "lang_quality": _sql_lang_quality(),
     }

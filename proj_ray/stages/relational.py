@@ -132,7 +132,7 @@ def broadcast_join(big_ds, small_tbl: pa.Table, key: str,
 
     right_key = right_key or key
     payload = [c for c in small_tbl.column_names if c != right_key]
-    if how not in ("inner", "left"):
+    if how not in ("inner", "left", "semi", "anti"):
         raise ValueError(f"broadcast_join: unsupported how={how!r}")
 
     keys_np = small_tbl.column(right_key).to_numpy(zero_copy_only=False)
@@ -148,10 +148,18 @@ def broadcast_join(big_ds, small_tbl: pa.Table, key: str,
         small = get_broadcast(small_ref)
         sk = small.column(right_key).to_numpy(zero_copy_only=False)
         bk = t.column(key).to_numpy(zero_copy_only=False)
-        pos = np.searchsorted(sk, bk)
-        pos_c = np.minimum(pos, max(len(sk) - 1, 0))
-        hit = (len(sk) > 0) & (sk[pos_c] == bk)
+        if len(sk) == 0:
+            pos_c = np.zeros(len(t), dtype=np.int64)
+            hit = np.zeros(len(t), dtype=bool)
+        else:
+            pos = np.searchsorted(sk, bk)
+            pos_c = np.minimum(pos, len(sk) - 1)
+            hit = sk[pos_c] == bk
         cols = {c: t.column(c) for c in t.column_names}
+        if how in ("semi", "anti"):
+            # membership filter only: big rows with (semi) / without
+            # (anti) a small-side match, no payload attached
+            return t.filter(pa.array(hit if how == "semi" else ~hit))
         if how == "inner":
             mask = pa.array(hit)
             t2 = t.filter(mask)

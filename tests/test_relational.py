@@ -147,3 +147,37 @@ def test_all_miss_batch_keeps_schema():
     assert out.count() == 0
     assert schema.names == ["row_id", "k", "label"]
     assert tbl is None
+
+
+def test_semi_and_anti_partition_the_stream():
+    import ray.data as rd
+
+    from proj_ray.stages.relational import broadcast_join
+
+    big, small = _frames(seed=13)
+    semi = broadcast_join(rd.from_pandas(big), small, key="k",
+                          right_key="sk", how="semi").to_pandas()
+    anti = broadcast_join(rd.from_pandas(big), small, key="k",
+                          right_key="sk", how="anti").to_pandas()
+    # no payload columns attached, schema preserved
+    assert list(semi.columns) == list(big.columns)
+    assert list(anti.columns) == list(big.columns)
+    # semi + anti = the whole stream, disjoint
+    assert len(semi) + len(anti) == len(big)
+    assert set(semi["row_id"]).isdisjoint(set(anti["row_id"]))
+    member = set(small.to_pandas()["sk"])
+    assert semi["k"].isin(member).all()
+    assert (~anti["k"].isin(member)).all()
+
+
+def test_anti_with_empty_small_side_keeps_everything():
+    import ray.data as rd
+
+    from proj_ray.stages.relational import broadcast_join
+
+    big, _ = _frames(seed=2, n=50)
+    empty = pa.table({"sk": pa.array([], type=pa.int64()),
+                      "label": pa.array([], type=pa.string())})
+    anti = broadcast_join(rd.from_pandas(big), empty, key="k",
+                          right_key="sk", how="anti").to_pandas()
+    assert len(anti) == len(big)
