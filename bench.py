@@ -66,6 +66,7 @@ QUERY_NAMES = [
     "events_lag",
     "orders_top100",
     "idle_customers",
+    "distinct_users",
 ]
 
 

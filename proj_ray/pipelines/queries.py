@@ -1424,6 +1424,29 @@ GROUP BY c_nationkey
 """
 
 
+def q_distinct_users(sf_dir: str):
+    """Exact COUNT(DISTINCT user) per event type: per-batch pair
+    dedup, one pair-keyed hash shuffle to finish the dedup, small
+    per-key count.  `stages.distinct.approx_distinct` is the HLL
+    sketch twin for unbounded value universes (pytest-verified against
+    this exact path within its error bound)."""
+    import ray.data as rd
+
+    from proj_ray.stages.distinct import exact_distinct_count
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "user_id"])
+    return exact_distinct_count(ds, key="event_type", value="user_id",
+                                out_col="n_users")
+
+
+SQL_DISTINCT_USERS = """
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY event_type
+"""
+
+
 def q_orders_top100(sf_dir: str):
     """Global ordered top-N: distributed range-partitioned sort on
     (price desc, key asc) + streaming limit; rank is attached to the
@@ -1907,6 +1930,7 @@ def build_queries():
         "events_lag": q_events_lag,
         "orders_top100": q_orders_top100,
         "idle_customers": q_idle_customers,
+        "distinct_users": q_distinct_users,
         "simhash_pairs": q_simhash_pairs,
         "embedding_near_dup": q_embedding_near_dup,
         "ann_ivf": q_ann_ivf,
@@ -1956,5 +1980,6 @@ def build_oracles():
         "events_lag": SQL_EVENTS_LAG,
         "orders_top100": SQL_ORDERS_TOP100,
         "idle_customers": SQL_IDLE_CUSTOMERS,
+        "distinct_users": SQL_DISTINCT_USERS,
         "lang_quality": _sql_lang_quality(),
     }
