@@ -67,6 +67,7 @@ QUERY_NAMES = [
     "orders_top100",
     "idle_customers",
     "distinct_users",
+    "lineitem_rollup",
 ]
 
 

@@ -1424,6 +1424,68 @@ GROUP BY c_nationkey
 """
 
 
+def q_lineitem_rollup(sf_dir: str):
+    """ROLLUP(l_returnflag, l_linestatus): subtotals + grand total.
+    One corpus pass builds the finest aggregate; the coarser rollup
+    levels re-aggregate from that tiny result (sums/counts are
+    re-aggregable), so the hierarchy costs nothing extra at scale.
+    Rolled-up levels carry the 'ALL' sentinel instead of NULL."""
+    import ray.data as rd
+
+    from proj_ray.stages.agg import tree_aggregate
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(
+            revenue=df["l_extendedprice"] * (1 - df["l_discount"]))
+        g = df.groupby(["l_returnflag", "l_linestatus"],
+                       as_index=False).agg(
+            sum_qty=("l_quantity", "sum"),
+            revenue=("revenue", "sum"),
+            n=("l_quantity", "count"))
+        return g
+
+    finest = tree_aggregate(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["l_returnflag", "l_linestatus"],
+        [("sum_qty", "sum"), ("revenue", "sum"), ("n", "sum")])
+
+    def rollup(df: pd.DataFrame) -> pd.DataFrame:
+        vals = ["sum_qty", "revenue", "n"]
+        lvl2 = df.copy()
+        lvl1 = df.groupby("l_returnflag", as_index=False)[vals].sum()
+        lvl1["l_linestatus"] = "ALL"
+        lvl0 = df[vals].sum().to_frame().T
+        lvl0["l_returnflag"] = "ALL"
+        lvl0["l_linestatus"] = "ALL"
+        out = pd.concat([lvl2, lvl1, lvl0], ignore_index=True)
+        return pd.DataFrame({
+            "l_returnflag": out["l_returnflag"],
+            "l_linestatus": out["l_linestatus"],
+            "sum_qty": np.round(out["sum_qty"], 4),
+            "revenue": np.round(out["revenue"], 4),
+            "n": out["n"].astype("int64"),
+        })
+
+    return finest.map_batches(rollup, batch_format="pandas",
+                              batch_size=None)
+
+
+SQL_LINEITEM_ROLLUP = """
+SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+       coalesce(l_linestatus, 'ALL') AS l_linestatus,
+       round(SUM(l_quantity), 4) AS sum_qty,
+       round(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+"""
+
+
 def q_distinct_users(sf_dir: str):
     """Exact COUNT(DISTINCT user) per event type: per-batch pair
     dedup, one pair-keyed hash shuffle to finish the dedup, small
@@ -1931,6 +1993,7 @@ def build_queries():
         "orders_top100": q_orders_top100,
         "idle_customers": q_idle_customers,
         "distinct_users": q_distinct_users,
+        "lineitem_rollup": q_lineitem_rollup,
         "simhash_pairs": q_simhash_pairs,
         "embedding_near_dup": q_embedding_near_dup,
         "ann_ivf": q_ann_ivf,
@@ -1981,5 +2044,6 @@ def build_oracles():
         "orders_top100": SQL_ORDERS_TOP100,
         "idle_customers": SQL_IDLE_CUSTOMERS,
         "distinct_users": SQL_DISTINCT_USERS,
+        "lineitem_rollup": SQL_LINEITEM_ROLLUP,
         "lang_quality": _sql_lang_quality(),
     }
