@@ -68,6 +68,7 @@ QUERY_NAMES = [
     "idle_customers",
     "distinct_users",
     "lineitem_rollup",
+    "frequent_tokens",
 ]
 
 

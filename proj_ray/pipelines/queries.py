@@ -1424,6 +1424,32 @@ GROUP BY c_nationkey
 """
 
 
+def q_frequent_tokens(sf_dir: str):
+    """Heavy hitters over the document corpus: whitespace tokens
+    carrying >= 0.5% of all token mass.  Exact path (per-batch Arrow
+    hash counts -> token-keyed shuffle -> global-threshold filter);
+    `stages.frequent.misra_gries` is the mergeable-sketch twin for
+    unbounded vocabularies (pytest-verified guarantee)."""
+    import ray.data as rd
+
+    from proj_ray.stages.frequent import exact_frequent
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["text"])
+    return exact_frequent(ds, text_col="text", min_frac=0.005)
+
+
+SQL_FREQUENT_TOKENS = """
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+tot AS (SELECT count(*) AS n FROM toks)
+SELECT tok, CAST(count(*) AS BIGINT) AS n_tok
+FROM toks, tot
+GROUP BY tok, tot.n
+HAVING count(*) >= 0.005 * tot.n
+"""
+
+
 def q_lineitem_rollup(sf_dir: str):
     """ROLLUP(l_returnflag, l_linestatus): subtotals + grand total.
     One corpus pass builds the finest aggregate; the coarser rollup
@@ -1994,6 +2020,7 @@ def build_queries():
         "idle_customers": q_idle_customers,
         "distinct_users": q_distinct_users,
         "lineitem_rollup": q_lineitem_rollup,
+        "frequent_tokens": q_frequent_tokens,
         "simhash_pairs": q_simhash_pairs,
         "embedding_near_dup": q_embedding_near_dup,
         "ann_ivf": q_ann_ivf,
@@ -2045,5 +2072,6 @@ def build_oracles():
         "idle_customers": SQL_IDLE_CUSTOMERS,
         "distinct_users": SQL_DISTINCT_USERS,
         "lineitem_rollup": SQL_LINEITEM_ROLLUP,
+        "frequent_tokens": SQL_FREQUENT_TOKENS,
         "lang_quality": _sql_lang_quality(),
     }

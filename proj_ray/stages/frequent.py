@@ -1,0 +1,107 @@
+"""Heavy hitters: exact frequent values and a Misra-Gries summary.
+
+Exact path: per-batch Arrow hash-count partials (bounded by each
+batch's distinct values), a value-keyed hash shuffle to finish the
+counts, then a threshold filter against the global total — the shuffle
+moves one row per distinct value, never the corpus.
+
+Misra-Gries path (mergeable, for unbounded vocabularies where even the
+distinct-value table is too wide): each batch keeps k counters; merged
+summaries sum counters and subtract the (k+1)-largest, preserving the
+classic guarantee est in [true - N/(k+1), true] — every value with
+frequency > N/(k+1) survives.  Use it to shortlist candidates, then
+one exact counting pass over the shortlist if exact counts matter.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def token_counts(ds, text_col: str, pattern: str = " "):
+    """Distributed token histogram: split `text_col`, count per batch,
+    finish with a token-keyed hash shuffle."""
+    from proj_ray.stages.agg import hash_shuffle_aggregate
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        toks = pc.list_flatten(pc.split_pattern(t.column(text_col),
+                                                pattern))
+        tbl = pa.table({"tok": toks,
+                        "n_tok": pa.array(np.ones(len(toks),
+                                                  dtype=np.int64))})
+        out = tbl.group_by(["tok"]).aggregate([("n_tok", "sum")])
+        return out.rename_columns(["tok", "n_tok"])
+
+    return hash_shuffle_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["tok"], [("n_tok", "sum")])
+
+
+def exact_frequent(ds, text_col: str, min_frac: float,
+                   pattern: str = " "):
+    """Tokens whose global frequency is >= min_frac of all tokens."""
+    import ray
+
+    from proj_ray.stages.agg import tree_aggregate
+
+    counts = token_counts(ds, text_col, pattern).materialize()
+
+    def total_partial(t: pa.Table) -> pa.Table:
+        return pa.table({"__k": pa.array([0]),
+                         "n": pa.array([int(pa.compute.sum(
+                             t.column("n_tok")).as_py() or 0)])})
+
+    tot_ds = tree_aggregate(
+        counts.map_batches(total_partial, batch_format="pyarrow"),
+        ["__k"], [("n", "sum")])
+    total = int(tot_ds.to_pandas()["n"].iloc[0])
+
+    def keep(t: pa.Table) -> pa.Table:
+        n = t.column("n_tok").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(n >= min_frac * total))
+
+    return counts.map_batches(keep, batch_format="pyarrow")
+
+
+def _mg_merge(tok: np.ndarray, cnt: np.ndarray, k: int):
+    """Merge counter lists: sum per token, subtract the (k+1)-largest
+    count, drop non-positive — the Misra-Gries reduction."""
+    df = pd.DataFrame({"t": tok, "c": cnt}).groupby("t", sort=False) \
+        ["c"].sum()
+    if len(df) > k:
+        cut = np.partition(df.to_numpy(), len(df) - (k + 1))[
+            len(df) - (k + 1)]
+        df = df - cut
+        df = df[df > 0]
+    return df.index.to_numpy(), df.to_numpy()
+
+
+def misra_gries(ds, text_col: str, k: int, pattern: str = " "):
+    """Distributed Misra-Gries: per-batch summaries (k counters each)
+    combine associatively down to one k-counter summary.  Returns a
+    1-block Dataset (tok, est) where est undercounts by at most
+    N/(k+1)."""
+    def partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        toks = pc.list_flatten(pc.split_pattern(t.column(text_col),
+                                                pattern))
+        u, c = np.unique(np.asarray(toks), return_counts=True)
+        u2, c2 = _mg_merge(u, c.astype(np.int64), k)
+        return pa.table({"tok": pa.array(u2.astype(str)),
+                         "est": pa.array(c2.astype(np.int64))})
+
+    def combine(t: pa.Table) -> pa.Table:
+        u, c = _mg_merge(
+            np.asarray(t.column("tok").to_pylist(), dtype=object),
+            t.column("est").to_numpy(zero_copy_only=False), k)
+        return pa.table({"tok": pa.array(u.astype(str)),
+                         "est": pa.array(c.astype(np.int64))})
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .repartition(1).map_batches(combine, batch_format="pyarrow",
+                                    batch_size=None)

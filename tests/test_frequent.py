@@ -1,0 +1,63 @@
+"""Heavy hitters: exact token counts and the Misra-Gries guarantee."""
+
+import numpy as np
+import pandas as pd
+
+
+def _corpus(seed=17, n_docs=300):
+    """Zipf-ish token stream with known counts."""
+    rng = np.random.default_rng(seed)
+    vocab = [f"w{i}" for i in range(200)]
+    probs = 1.0 / np.arange(1, 201)
+    probs /= probs.sum()
+    docs = []
+    for _ in range(n_docs):
+        toks = rng.choice(vocab, size=rng.integers(5, 40), p=probs)
+        docs.append(" ".join(toks))
+    return pd.DataFrame({"text": docs})
+
+
+def _true_counts(df):
+    s = df["text"].str.split(" ").explode()
+    return s.value_counts()
+
+
+def test_exact_frequent_matches_pandas():
+    import ray.data as rd
+
+    from proj_ray.stages.frequent import exact_frequent
+
+    df = _corpus()
+    truth = _true_counts(df)
+    total = truth.sum()
+    frac = 0.01
+    got = exact_frequent(rd.from_pandas(df), text_col="text",
+                         min_frac=frac).to_pandas() \
+        .set_index("tok")["n_tok"].sort_index()
+    want = truth[truth >= frac * total].sort_index()
+    assert (got.index == want.index).all()
+    assert (got.to_numpy() == want.to_numpy()).all()
+
+
+def test_misra_gries_guarantee():
+    """Every token with frequency > N/(k+1) survives, and estimates
+    undercount by at most N/(k+1)."""
+    import ray.data as rd
+
+    from proj_ray.stages.frequent import misra_gries
+
+    df = _corpus(seed=3)
+    truth = _true_counts(df)
+    n_total = truth.sum()
+    k = 20
+    out = misra_gries(rd.from_pandas(df).repartition(7),
+                      text_col="text", k=k).to_pandas() \
+        .set_index("tok")["est"]
+    bound = n_total / (k + 1)
+    heavy = truth[truth > bound]
+    for tok, true_n in heavy.items():
+        assert tok in out.index, f"heavy hitter {tok} dropped"
+    for tok, est in out.items():
+        true_n = truth.get(tok, 0)
+        assert est <= true_n, f"{tok} overcounted: {est} > {true_n}"
+        assert true_n - est <= bound + 1e-9
