@@ -69,6 +69,7 @@ QUERY_NAMES = [
     "distinct_users",
     "lineitem_rollup",
     "frequent_tokens",
+    "weighted_sample",
 ]
 
 

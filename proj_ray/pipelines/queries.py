@@ -1424,6 +1424,29 @@ GROUP BY c_nationkey
 """
 
 
+def q_weighted_sample(sf_dir: str):
+    """Length-weighted document sample (40 docs, P proportional to
+    n_chars, without replacement): deterministic Efraimidis-Spirakis
+    keys from the Knuth hash + the bounded-partial top-k combiner —
+    re-run-stable and SQL-reproducible."""
+    import ray.data as rd
+
+    from proj_ray.stages.sampling import weighted_sample
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "lang", "n_chars"])
+    return weighted_sample(ds, k=40, weight_col="n_chars",
+                           id_col="doc_id", seed=11)
+
+
+def _sql_weighted_sample() -> str:
+    from proj_ray.stages.sampling import sql_es_key
+
+    key = sql_es_key("doc_id", "n_chars", seed=11)
+    return (f"SELECT doc_id, lang, n_chars FROM documents "
+            f"ORDER BY {key} DESC, doc_id LIMIT 40")
+
+
 def q_frequent_tokens(sf_dir: str):
     """Heavy hitters over the document corpus: whitespace tokens
     carrying >= 0.5% of all token mass.  Exact path (per-batch Arrow
@@ -2021,6 +2044,7 @@ def build_queries():
         "distinct_users": q_distinct_users,
         "lineitem_rollup": q_lineitem_rollup,
         "frequent_tokens": q_frequent_tokens,
+        "weighted_sample": q_weighted_sample,
         "simhash_pairs": q_simhash_pairs,
         "embedding_near_dup": q_embedding_near_dup,
         "ann_ivf": q_ann_ivf,
@@ -2073,5 +2097,6 @@ def build_oracles():
         "distinct_users": SQL_DISTINCT_USERS,
         "lineitem_rollup": SQL_LINEITEM_ROLLUP,
         "frequent_tokens": SQL_FREQUENT_TOKENS,
+        "weighted_sample": _sql_weighted_sample(),
         "lang_quality": _sql_lang_quality(),
     }

@@ -87,3 +87,48 @@ def sql_hash_sample_pred(rate, id_col: str = "doc_id",
             f" % {_TWO64}::HUGEINT"
             f" < CAST(LEAST(GREATEST({rate_expr}, 0.0), 1.0)"
             f" * {float(_TWO64)!r} AS HUGEINT)")
+
+
+def es_key(ids: np.ndarray, weights: np.ndarray,
+           seed: int = 0) -> np.ndarray:
+    """Efraimidis-Spirakis weighted-sampling key, log form:
+    ln(u) / w with u = (hash(id, seed) + 0.5) / 2**64.  Taking the
+    top-k rows by this key (descending) IS a weighted random sample
+    without replacement with P proportional to w — and because u comes
+    from the deterministic Knuth hash, the sample is re-run-stable and
+    SQL-reproducible (see sql_es_key)."""
+    h = (ids.astype(np.uint64) + np.uint64(seed)) * PHI64
+    u = (h.astype(np.float64) + 0.5) / float(_TWO64)
+    w = np.maximum(weights.astype(np.float64), 1.0)
+    return np.log(u) / w
+
+
+def sql_es_key(id_col: str = "doc_id", weight_col: str = "n_chars",
+               seed: int = 0) -> str:
+    """DuckDB expression computing the identical E-S key."""
+    return (f"ln((CAST((({id_col}::HUGEINT + {seed})"
+            f" * {_PHI64_INT}::HUGEINT) % {_TWO64}::HUGEINT AS DOUBLE)"
+            f" + 0.5) / {float(_TWO64)!r})"
+            f" / GREATEST({weight_col}::DOUBLE, 1.0)")
+
+
+def weighted_sample(ds, k: int, weight_col: str,
+                    id_col: str = "doc_id", seed: int = 0):
+    """Deterministic weighted sample WITHOUT replacement of size k
+    (P proportional to weight): attach the E-S key per batch, then the
+    bounded-partial top-k combiner — every batch ships at most k rows,
+    never the corpus."""
+    from proj_ray.stages.windows import grouped_top_k
+
+    def add_key(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        w = t.column(weight_col).to_numpy(zero_copy_only=False)
+        t = t.append_column("__es", pa.array(es_key(ids, w, seed)))
+        return t.append_column(
+            "__const", pa.array(np.zeros(len(t), dtype=np.int64)))
+
+    keyed = ds.map_batches(add_key, batch_format="pyarrow")
+    top = grouped_top_k(keyed, key="__const", score="__es", k=k,
+                        descending=True, tiebreak=id_col,
+                        num_partitions=1)
+    return top.drop_columns(["__es", "__const"])

@@ -83,3 +83,50 @@ def test_stratified_sample(ray_session):
         want = set(ids[sel][hash_keep_mask(ids[sel], rate, seed=2)])
         got = set(out.loc[out["lang"] == lang, "doc_id"])
         assert got == want, lang
+
+
+def test_weighted_sample_partitioning_invariance():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from proj_ray.stages.sampling import weighted_sample
+
+    rng = np.random.default_rng(31)
+    df = pd.DataFrame({
+        "doc_id": np.arange(2000, dtype=np.int64),
+        "w": rng.integers(1, 500, 2000).astype(np.int64),
+    })
+    a = weighted_sample(rd.from_pandas(df).repartition(2), k=25,
+                        weight_col="w", seed=5).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    b = weighted_sample(
+        rd.from_pandas(df.sample(frac=1, random_state=1))
+        .repartition(17), k=25, weight_col="w", seed=5).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_weighted_sample_prefers_heavy_rows():
+    """P(selection) tracks weight: rows with 100x weight must be
+    selected far more often across seeds."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from proj_ray.stages.sampling import weighted_sample
+
+    n = 400
+    df = pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64),
+        # first 20 rows carry 100x the weight of the rest
+        "w": np.where(np.arange(n) < 20, 2000, 20).astype(np.int64),
+    })
+    heavy_hits = 0
+    for seed in range(8):
+        got = weighted_sample(rd.from_pandas(df), k=20,
+                              weight_col="w", seed=seed).to_pandas()
+        heavy_hits += int((got["doc_id"] < 20).sum())
+    # heavy rows are 5% of the population but ~72% of the weight;
+    # across 8 seeds x 20 picks they must dominate clearly
+    assert heavy_hits >= 0.5 * 8 * 20
