@@ -70,6 +70,7 @@ QUERY_NAMES = [
     "lineitem_rollup",
     "frequent_tokens",
     "weighted_sample",
+    "audio_chunks",
 ]
 
 

@@ -1919,6 +1919,35 @@ def q_media_features(sf_dir: str):
         batch_format="pandas")
 
 
+def q_audio_chunks(sf_dir: str):
+    """Multimodal audio path: media spans -> synthetic payloads ->
+    actor-pool window chunking with per-chunk RMS features
+    (rows-only; the PCM view is the documented stub, the fan-out and
+    feature math are real)."""
+    import pyarrow.compute as pc
+
+    from proj_ray.docs.synth import doc_dataset_from_documents
+    from proj_ray.stages.media import AudioChunker, synth_media_batch
+
+    def media_refs(batch: pa.Table) -> pa.Table:
+        spans = batch.column("spans")
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        flat = spans.flatten()
+        mask = pc.equal(flat.field("kind"), "media")
+        return pa.table({"media_ref": flat.field("media_ref")
+                        .filter(mask)})
+
+    ds = doc_dataset_from_documents(sf_dir) \
+        .map_batches(media_refs, batch_format="pyarrow") \
+        .map_batches(synth_media_batch, batch_format="pyarrow") \
+        .map_batches(AudioChunker, batch_format="pandas",
+                     batch_size=1024, concurrency=2)
+    return ds.map_batches(
+        lambda df: df.assign(rms=np.round(df["rms"], 9)),
+        batch_format="pandas")
+
+
 def q_lang_quality(sf_dir: str):
     import ray.data as rd
 
@@ -2049,6 +2078,7 @@ def build_queries():
         "embedding_near_dup": q_embedding_near_dup,
         "ann_ivf": q_ann_ivf,
         "media_features": q_media_features,
+        "audio_chunks": q_audio_chunks,
         "lang_quality": q_lang_quality,
     }
 

@@ -104,6 +104,56 @@ class FrameSampler:
         return pd.DataFrame({"media_ref": refs, "frame_ts_ms": ts})
 
 
+class AudioChunker:
+    """Audio windowing stage: slice each audio payload into
+    fixed-length chunks (`chunk_ms` of samples at `sample_rate_hz`)
+    and emit per-chunk RMS-energy features — the window/feature fan-out
+    a real audio pipeline (VAD, ASR pre-filter) runs.  Payload bytes
+    stand in for PCM (a real codec is NOT available in this
+    environment — the chunk math, fan-out and batch plumbing are the
+    real product; the byte->sample view is the documented stub).
+    Vectorized: one concatenated sample buffer per batch, chunk sums
+    via reduceat."""
+
+    def __init__(self, chunk_ms: int = 250, sample_rate_hz: int = 8000):
+        self.chunk_ms = chunk_ms
+        # bytes-per-chunk for the stub 8-bit mono PCM view
+        self.chunk_bytes = max(1, sample_rate_hz * chunk_ms // 1000)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        aud = batch[batch["media_type"] == "audio"]
+        if len(aud) == 0:
+            return pd.DataFrame({
+                "media_ref": pd.Series([], dtype=object),
+                "chunk_idx": pd.Series([], dtype=np.int64),
+                "chunk_ts_ms": pd.Series([], dtype=np.int64),
+                "rms": pd.Series([], dtype=np.float64),
+            })
+        payloads = aud["payload"].to_numpy()
+        lens = np.fromiter((len(p) for p in payloads), dtype=np.int64,
+                           count=len(payloads))
+        buf = np.frombuffer(b"".join(payloads), dtype=np.uint8) \
+            .astype(np.float64)
+        counts = -(-lens // self.chunk_bytes)  # ceil
+        total = int(counts.sum())
+        doc_start = np.cumsum(lens) - lens
+        chunk_of_doc = np.arange(total, dtype=np.int64) \
+            - np.repeat(np.cumsum(counts) - counts, counts)
+        offsets = np.repeat(doc_start, counts) \
+            + chunk_of_doc * self.chunk_bytes
+        sq = np.concatenate([[0.0], np.cumsum(buf * buf)])
+        ends = np.minimum(offsets + self.chunk_bytes,
+                          np.repeat(doc_start + lens, counts))
+        ssum = sq[ends] - sq[offsets]
+        n = (ends - offsets).astype(np.float64)
+        return pd.DataFrame({
+            "media_ref": np.repeat(aud["media_ref"].to_numpy(), counts),
+            "chunk_idx": chunk_of_doc,
+            "chunk_ts_ms": chunk_of_doc * self.chunk_ms,
+            "rms": np.sqrt(ssum / np.maximum(n, 1.0)),
+        })
+
+
 def media_pipeline(doc_ds, concurrency: int = 2):
     """documents -> media spans -> fake decode -> features (end-to-end
     plumbing used by tests and bench)."""

@@ -40,3 +40,40 @@ def test_decoder_drops_payload_keeps_features():
     # deterministic
     again = np.stack(dec(b.copy())["features"].to_numpy())
     assert (f == again).all()
+
+
+def test_audio_chunker_fanout_and_rms():
+    from proj_ray.stages.media import AudioChunker
+
+    # two audio payloads and one image row (skipped)
+    p1 = bytes(range(10)) * 5          # 50 bytes
+    p2 = bytes([100]) * 12             # constant signal, 12 bytes
+    b = pd.DataFrame({
+        "media_ref": ["a1", "img", "a2"],
+        "media_type": ["audio", "image", "audio"],
+        "payload": [p1, b"\xff" * 9, p2],
+    })
+    # chunk_bytes = 8000 * 2 // 1000 = 16
+    out = AudioChunker(chunk_ms=2, sample_rate_hz=8000)(b)
+    # ceil(50/16)=4 chunks for a1, ceil(12/16)=1 for a2
+    assert out["media_ref"].tolist() == ["a1"] * 4 + ["a2"]
+    assert out["chunk_idx"].tolist() == [0, 1, 2, 3, 0]
+    assert out["chunk_ts_ms"].tolist() == [0, 2, 4, 6, 0]
+    # exact RMS per chunk vs direct computation
+    arr1 = np.frombuffer(p1, dtype=np.uint8).astype(np.float64)
+    for i in range(4):
+        seg = arr1[i * 16:(i + 1) * 16]
+        want = np.sqrt(np.mean(seg * seg))
+        assert abs(out["rms"].iloc[i] - want) < 1e-12
+    assert abs(out["rms"].iloc[4] - 100.0) < 1e-12
+
+
+def test_audio_chunker_no_audio_keeps_schema():
+    from proj_ray.stages.media import AudioChunker
+
+    b = pd.DataFrame({"media_ref": ["x"], "media_type": ["image"],
+                      "payload": [b"abc"]})
+    out = AudioChunker()(b)
+    assert len(out) == 0
+    assert list(out.columns) == ["media_ref", "chunk_idx",
+                                 "chunk_ts_ms", "rms"]
