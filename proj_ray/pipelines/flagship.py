@@ -112,32 +112,86 @@ def _partials(index, zoom, lon, lat, c, tx, ty, ux) -> pa.Table:
     })
 
 
+_TILE_AGGS = [("n_points", "sum"), ("n_joined", "sum"),
+              ("x_sum", "sum"), ("y_sum", "sum"), ("utmx_sum", "sum")]
+
+
+def _tile_partials(docs, zoom: int, n_polygons: int):
+    """docs -> coord spans -> transform+join+tile partials (the fused
+    stateless chain shared by the one-shot and resumable runners)."""
+    import ray
+
+    coords = docs.map_batches(extract_coords_batch, batch_format="pyarrow")
+    index = PolygonIndex(make_polygons(n_polygons), 5.0)
+    ref = ray.put(index)
+    # stateless tasks (not an actor pool): worker processes stay warm
+    # across runs and elastically fill every core
+    return coords.map_batches(
+        transform_join_tile,
+        fn_kwargs={"index_ref": ref, "zoom": zoom},
+        batch_format="pyarrow",
+        batch_size=None,  # one task per block: keep every core busy
+    )
+
+
 def flagship(sf_dir: str = None, n_docs: int = None, zoom: int = 8,
              n_polygons: int = 64, concurrency: int = 4,
              parallelism: int = 32):
     """Run the flagship pipeline; returns the per-tile summary Dataset."""
-    import ray
-
     from proj_ray.stages.agg import tree_aggregate
 
     if n_docs is not None:
         docs = doc_dataset(n_docs, parallelism=parallelism)
     else:
         docs = doc_dataset_from_documents(sf_dir)
-    coords = docs.map_batches(extract_coords_batch, batch_format="pyarrow")
-    index = PolygonIndex(make_polygons(n_polygons), 5.0)
-    ref = ray.put(index)
-    # stateless tasks (not an actor pool): worker processes stay warm
-    # across runs and elastically fill every core
-    partials = coords.map_batches(
-        transform_join_tile,
-        fn_kwargs={"index_ref": ref, "zoom": zoom},
-        batch_format="pyarrow",
-        batch_size=None,  # one task per block: keep every core busy
-    )
     # tile assembly: associative combine tree (tile cardinality is
     # bounded by 4^zoom, so the final merge is small)
-    return tree_aggregate(
-        partials, ["tile"],
-        [("n_points", "sum"), ("n_joined", "sum"),
-         ("x_sum", "sum"), ("y_sum", "sum"), ("utmx_sum", "sum")])
+    return tree_aggregate(_tile_partials(docs, zoom, n_polygons),
+                          ["tile"], _TILE_AGGS)
+
+
+def resumable_flagship(n_docs: int, n_shards: int, root: str,
+                       zoom: int = 8, n_polygons: int = 64,
+                       parallelism: int = 8):
+    """The flagship as a resumable partitioned job: doc-id ranges are
+    the partitions, each shard's bounded tile-partial table writes
+    through the per-partition checkpoint (manifest = id-range lineage +
+    row metrics), and a re-run computes ONLY shards without a valid
+    manifest.  The final tile table re-aggregates the checkpointed
+    partials — associative, so shard boundaries never change the
+    answer.  Returns (tile_table, n_computed, n_skipped)."""
+    import ray.data as rd
+
+    from proj_ray.docs.synth import make_doc_batch
+    from proj_ray.stages.agg import combine_block
+    from proj_ray.state.checkpoint import run_partitioned
+
+    bounds = np.linspace(0, n_docs, n_shards + 1).astype(np.int64)
+    pids = [f"shard-{i:05d}" for i in range(n_shards)]
+
+    def make_table(pid: str) -> pa.Table:
+        i = int(pid.split("-")[1])
+        lo, hi = int(bounds[i]), int(bounds[i + 1])
+        docs = rd.range(hi - lo, override_num_blocks=parallelism) \
+            .map_batches(
+                lambda b, lo=lo: make_doc_batch(
+                    b["id"].to_numpy() + lo),
+                batch_format="pyarrow", batch_size=65536)
+        partials = _tile_partials(docs, zoom, n_polygons)
+        shard = pa.concat_tables(
+            [b for b in partials.iter_batches(batch_format="pyarrow")],
+            promote_options="default")
+        return combine_block(shard, ["tile"], _TILE_AGGS)
+
+    def lineage(pid: str):
+        i = int(pid.split("-")[1])
+        return {"partition": pid,
+                "doc_id_range": [int(bounds[i]), int(bounds[i + 1])]}
+
+    writer, computed, skipped = run_partitioned(
+        pids, make_table, root,
+        config={"n_docs": n_docs, "n_shards": n_shards, "zoom": zoom,
+                "n_polygons": n_polygons},
+        lineage_fn=lineage)
+    tiles = combine_block(writer.read_all(), ["tile"], _TILE_AGGS)
+    return tiles, computed, skipped

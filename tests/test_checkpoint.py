@@ -59,3 +59,43 @@ def test_partial_failure_resume(tmp_path):
     w2, computed, skipped = run_partitioned(parts, make_table, root,
                                             config={"v": 1})
     assert computed == 2 and skipped == 2
+
+
+def test_resumable_flagship_matches_oneshot_and_skips(tmp_path,
+                                                      ray_session):
+    import os
+
+    import pandas as pd
+
+    from proj_ray.pipelines.flagship import flagship, resumable_flagship
+
+    root = str(tmp_path / "ckpt")
+    n_docs, n_shards = 4000, 4
+
+    tiles, computed, skipped = resumable_flagship(
+        n_docs, n_shards, root, parallelism=2)
+    assert (computed, skipped) == (4, 0)
+
+    # the sharded, checkpointed answer equals the one-shot pipeline
+    want = flagship(n_docs=n_docs, parallelism=4).to_pandas() \
+        .sort_values("tile").reset_index(drop=True)
+    got = tiles.to_pandas().sort_values("tile").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[want.columns.tolist()], want, check_exact=False, rtol=1e-12)
+
+    # resume: nothing recomputes
+    _, computed, skipped = resumable_flagship(
+        n_docs, n_shards, root, parallelism=2)
+    assert (computed, skipped) == (0, 4)
+
+    # kill one shard's manifest -> exactly that shard recomputes and
+    # the combined answer is unchanged
+    victim = [f for f in os.listdir(root) if f.endswith(".json")][1]
+    os.remove(os.path.join(root, victim))
+    tiles2, computed, skipped = resumable_flagship(
+        n_docs, n_shards, root, parallelism=2)
+    assert (computed, skipped) == (1, 3)
+    got2 = tiles2.to_pandas().sort_values("tile").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got2[want.columns.tolist()], want, check_exact=False,
+        rtol=1e-12)
