@@ -64,6 +64,7 @@ QUERY_NAMES = [
     "tile_regions",
     "events_sliding",
     "events_lag",
+    "events_running",
     "orders_top100",
     "idle_customers",
     "distinct_users",

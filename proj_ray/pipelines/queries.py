@@ -1586,6 +1586,37 @@ LIMIT 100
 """
 
 
+def q_events_running(sf_dir: str):
+    """Running total per user (SUM OVER PARTITION ... ROWS UNBOUNDED
+    PRECEDING): key-hash shuffle, per-partition lexsort, sequential
+    per-run cumulative sums.  Compared at 6 decimals — DuckDB's window
+    SUM aggregates through a segment tree, so the two correct answers
+    differ in the last ulp."""
+    import ray.data as rd
+
+    from proj_ray.stages.windows import keyed_cumsum
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts", "value"])
+    out = keyed_cumsum(ds, key="user_id", time="ts",
+                       value_cols=["value"], tiebreak="event_id")
+    return out.map_batches(
+        lambda df: pd.DataFrame({
+            "event_id": df["event_id"],
+            "user_id": df["user_id"],
+            "running_value": np.round(df["value_cum"], 6),
+        }), batch_format="pandas")
+
+
+SQL_EVENTS_RUNNING = """
+SELECT event_id, user_id,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts,
+                              event_id ROWS UNBOUNDED PRECEDING),
+             6) AS running_value
+FROM events
+"""
+
+
 def q_customer_region(sf_dir: str):
     """Dimension joins as broadcasts: customers resolve nation ->
     region through two per-worker cached lookup tables (the fact stream
@@ -2068,6 +2099,7 @@ def build_queries():
         "tile_regions": q_tile_regions,
         "events_sliding": q_events_sliding,
         "events_lag": q_events_lag,
+        "events_running": q_events_running,
         "orders_top100": q_orders_top100,
         "idle_customers": q_idle_customers,
         "distinct_users": q_distinct_users,
@@ -2122,6 +2154,7 @@ def build_oracles():
         "tile_regions": _sql_tile_regions(),
         "events_sliding": SQL_EVENTS_SLIDING,
         "events_lag": SQL_EVENTS_LAG,
+        "events_running": SQL_EVENTS_RUNNING,
         "orders_top100": SQL_ORDERS_TOP100,
         "idle_customers": SQL_IDLE_CUSTOMERS,
         "distinct_users": SQL_DISTINCT_USERS,

@@ -214,3 +214,56 @@ def keyed_lag(ds, key: str, time: str, value_cols: list[str],
 
     return ds.map_batches(add_part, batch_format="pyarrow") \
         .groupby("__part").map_groups(resolve, batch_format="pyarrow")
+
+
+def keyed_cumsum(ds, key: str, time: str, value_cols: list[str],
+                 num_partitions: int = 32, tiebreak: str | None = None):
+    """Running totals: SQL's ``SUM(c) OVER (PARTITION BY key ORDER BY
+    time ROWS UNBOUNDED PRECEDING)`` — each row gets the cumulative sum
+    of `value_cols` over its key's history up to and including itself
+    (`{c}_cum` columns).  One key-hash shuffle, per-partition lexsort,
+    segmented cumsum (global cumsum minus each key-run's prefix)."""
+    def add_part(t: pa.Table) -> pa.Table:
+        k = t.column(key).to_numpy(zero_copy_only=False)
+        return t.append_column("__part",
+                               pa.array(_part(k, num_partitions)))
+
+    def resolve(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["__part"])
+        n = len(t)
+        if n == 0:
+            for c in value_cols:
+                t = t.append_column(f"{c}_cum", t.column(c))
+            return t
+        k = t.column(key).to_numpy(zero_copy_only=False)
+        tm = t.column(time).to_numpy(zero_copy_only=False)
+        tv = tm.view(np.int64) if tm.dtype.kind == "M" else tm
+        if tiebreak is not None:
+            tb = t.column(tiebreak).to_numpy(zero_copy_only=False)
+            order = np.lexsort((tb, tv, k))
+        else:
+            order = np.lexsort((tv, k))
+        ks = k[order]
+        first = np.empty(n, dtype=bool)
+        first[0] = True
+        first[1:] = ks[1:] != ks[:-1]
+        inv = np.empty(n, dtype=np.int64)
+        inv[order] = np.arange(n)
+        # per-run cumsum: the loop is over KEY RUNS (bounded by the
+        # partition's distinct keys), each iteration a vectorized
+        # cumsum whose sequential-add order matches SQL's running sum
+        # bit-for-bit (a global-cumsum-minus-prefix trick would drag
+        # other keys' magnitudes into the floats)
+        starts_idx = np.nonzero(first)[0]
+        ends_idx = np.append(starts_idx[1:], n)
+        for c in value_cols:
+            v = t.column(c).to_numpy(zero_copy_only=False) \
+                .astype(np.float64)[order]
+            cum = np.empty(n, dtype=np.float64)
+            for s, e in zip(starts_idx, ends_idx):
+                cum[s:e] = np.cumsum(v[s:e])
+            t = t.append_column(f"{c}_cum", pa.array(cum[inv]))
+        return t
+
+    return ds.map_batches(add_part, batch_format="pyarrow") \
+        .groupby("__part").map_groups(resolve, batch_format="pyarrow")

@@ -154,3 +154,27 @@ def test_keyed_lag_matches_pandas_shift():
     want = want.sort_values("rid").reset_index(drop=True)
     pd.testing.assert_series_equal(got["v_lag"], want["v_lag"],
                                    check_names=False)
+
+
+def test_keyed_cumsum_matches_pandas():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from proj_ray.stages.windows import keyed_cumsum
+
+    rng = np.random.default_rng(8)
+    n = 600
+    df = pd.DataFrame({
+        "rid": np.arange(n, dtype=np.int64),
+        "k": rng.integers(0, 15, n),
+        "t": rng.integers(0, 5_000, n),
+        "v": rng.normal(size=n),
+    })
+    out = keyed_cumsum(rd.from_pandas(df), key="k", time="t",
+                       value_cols=["v"], tiebreak="rid")
+    got = out.to_pandas().sort_values("rid").reset_index(drop=True)
+    want = df.sort_values(["k", "t", "rid"])
+    want = want.assign(v_cum=want.groupby("k")["v"].cumsum())
+    want = want.sort_values("rid").reset_index(drop=True)
+    assert np.allclose(got["v_cum"], want["v_cum"], rtol=0, atol=1e-12)
