@@ -65,6 +65,7 @@ QUERY_NAMES = [
     "events_sliding",
     "events_lag",
     "events_running",
+    "zonal_stats",
     "orders_top100",
     "idle_customers",
     "distinct_users",

@@ -935,6 +935,49 @@ def q_pip_polygons_shuffle(sf_dir: str):
     return shuffle_pip_join(ds, make_polygons(64), salt=salt)
 
 
+def q_zonal_stats(sf_dir: str):
+    """Zonal statistics: per-polygon point and distinct-document
+    counts over the PIP join stream — one pass: per-batch (polygon,
+    doc) dedup-counts, a pair-keyed hash shuffle finishing both the
+    dedup and the counts, then a small per-polygon combine."""
+    from proj_ray.stages.agg import hash_shuffle_aggregate, tree_aggregate
+
+    joined = q_pip_polygons(sf_dir)
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        tbl = pa.table({
+            "polygon_id": t.column("polygon_id"),
+            "doc_id": t.column("doc_id"),
+            "n": pa.array(np.ones(len(t), dtype=np.int64)),
+        })
+        out = tbl.group_by(["polygon_id", "doc_id"]) \
+            .aggregate([("n", "sum")])
+        return out.rename_columns(["polygon_id", "doc_id", "n"])
+
+    pairs = hash_shuffle_aggregate(
+        joined.map_batches(pair_partial, batch_format="pyarrow"),
+        ["polygon_id", "doc_id"], [("n", "sum")], num_buckets=16)
+
+    def zonal_partial(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "polygon_id": t.column("polygon_id"),
+            "n_points": t.column("n"),
+            "n_docs": pa.array(np.ones(len(t), dtype=np.int64)),
+        })
+
+    return tree_aggregate(pairs.map_batches(zonal_partial,
+                                            batch_format="pyarrow"),
+                          ["polygon_id"],
+                          [("n_points", "sum"), ("n_docs", "sum")])
+
+
+def _sql_zonal_stats() -> str:
+    return (f"WITH pip AS ({_sql_pip_polygons()}) "
+            "SELECT polygon_id, CAST(count(*) AS BIGINT) AS n_points, "
+            "CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs "
+            "FROM pip GROUP BY polygon_id")
+
+
 def _sql_pip_polygons() -> str:
     """Crossing-number PIP in SQL over the deterministic convex
     polygons (spatial/pip.py make_polygons, FIXTURES.md F4): rebuild
@@ -2100,6 +2143,7 @@ def build_queries():
         "events_sliding": q_events_sliding,
         "events_lag": q_events_lag,
         "events_running": q_events_running,
+        "zonal_stats": q_zonal_stats,
         "orders_top100": q_orders_top100,
         "idle_customers": q_idle_customers,
         "distinct_users": q_distinct_users,
@@ -2155,6 +2199,7 @@ def build_oracles():
         "events_sliding": SQL_EVENTS_SLIDING,
         "events_lag": SQL_EVENTS_LAG,
         "events_running": SQL_EVENTS_RUNNING,
+        "zonal_stats": _sql_zonal_stats(),
         "orders_top100": SQL_ORDERS_TOP100,
         "idle_customers": SQL_IDLE_CUSTOMERS,
         "distinct_users": SQL_DISTINCT_USERS,
