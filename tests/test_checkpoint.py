@@ -99,3 +99,45 @@ def test_resumable_flagship_matches_oneshot_and_skips(tmp_path,
     pd.testing.assert_frame_equal(
         got2[want.columns.tolist()], want, check_exact=False,
         rtol=1e-12)
+
+
+def test_job_entrypoint_resume(tmp_path, ray_session, capsys):
+    """python -m proj_ray.job flagship: fresh run computes all shards,
+    re-submission skips them all (the ray-job-submit resume story)."""
+    import json
+
+    from proj_ray.job import main
+
+    root = str(tmp_path / "jobckpt")
+    assert main(["flagship", "--n-docs", "1500", "--shards", "3",
+                 "--root", root, "--parallelism", "2"]) == 0
+    first = json.loads(capsys.readouterr().out.strip())
+    assert (first["shards_computed"], first["shards_skipped"]) == (3, 0)
+
+    assert main(["flagship", "--n-docs", "1500", "--shards", "3",
+                 "--root", root, "--parallelism", "2"]) == 0
+    second = json.loads(capsys.readouterr().out.strip())
+    assert (second["shards_computed"], second["shards_skipped"]) == (0, 3)
+    assert second["tiles"] == first["tiles"]
+
+
+def test_job_entrypoint_query_writes_parquet(tmp_path, ray_session,
+                                             capsys):
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    from proj_ray.job import main
+
+    out_dir = str(tmp_path / "out")
+    assert main(["query", "--name", "lineitem_agg",
+                 "--sf-dir", "/root/testdata/sf0.001",
+                 "--output", out_dir]) == 0
+    res = json.loads(capsys.readouterr().out.strip())
+    assert res["rows"] == 6
+    files = [f for f in os.listdir(out_dir) if f.endswith(".parquet")]
+    assert files
+    total = sum(pq.ParquetFile(os.path.join(out_dir, f))
+                .metadata.num_rows for f in files)
+    assert total == 6
