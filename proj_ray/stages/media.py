@@ -123,8 +123,10 @@ class AudioChunker:
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         aud = batch[batch["media_type"] == "audio"]
         if len(aud) == 0:
+            # typed empty: an object-dtype empty column would infer as
+            # Arrow null and diverge from non-empty blocks' schema
             return pd.DataFrame({
-                "media_ref": pd.Series([], dtype=object),
+                "media_ref": pd.Series([], dtype="string"),
                 "chunk_idx": pd.Series([], dtype=np.int64),
                 "chunk_ts_ms": pd.Series([], dtype=np.int64),
                 "rms": pd.Series([], dtype=np.float64),

@@ -232,8 +232,11 @@ def keyed_cumsum(ds, key: str, time: str, value_cols: list[str],
         t = t.drop_columns(["__part"])
         n = len(t)
         if n == 0:
+            # the cum columns are float64 on non-empty batches — keep
+            # the empty block's schema identical (VERDICT r2 bug class)
             for c in value_cols:
-                t = t.append_column(f"{c}_cum", t.column(c))
+                t = t.append_column(f"{c}_cum",
+                                    pa.array([], type=pa.float64()))
             return t
         k = t.column(key).to_numpy(zero_copy_only=False)
         tm = t.column(time).to_numpy(zero_copy_only=False)
