@@ -71,6 +71,7 @@ QUERY_NAMES = [
     "distinct_users",
     "lineitem_rollup",
     "frequent_tokens",
+    "tfidf_terms",
     "weighted_sample",
     "audio_chunks",
 ]

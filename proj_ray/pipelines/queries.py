@@ -1505,6 +1505,35 @@ def q_frequent_tokens(sf_dir: str):
     return exact_frequent(ds, text_col="text", min_frac=0.005)
 
 
+def q_tfidf_terms(sf_dir: str):
+    """TF-IDF term scores per document (tf >= 3): in-batch term
+    frequencies (documents are whole rows — no shuffle), one
+    token-keyed shuffle for document frequencies, broadcast df table
+    for the stateless scoring pass."""
+    import ray.data as rd
+
+    from proj_ray.stages.frequent import tfidf_terms
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return tfidf_terms(ds, id_col="doc_id", text_col="text", min_tf=3)
+
+
+SQL_TFIDF_TERMS = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+  FROM documents),
+tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+       FROM toks GROUP BY 1, 2),
+dfq AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+nq AS (SELECT count(*) AS n FROM documents)
+SELECT t.doc_id, t.tok, t.tf,
+       round(t.tf * ln(nq.n / dfq.df), 6) AS tfidf
+FROM tf t JOIN dfq USING (tok), nq
+WHERE t.tf >= 3
+"""
+
+
 SQL_FREQUENT_TOKENS = """
 WITH toks AS (
   SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
@@ -2149,6 +2178,7 @@ def build_queries():
         "distinct_users": q_distinct_users,
         "lineitem_rollup": q_lineitem_rollup,
         "frequent_tokens": q_frequent_tokens,
+        "tfidf_terms": q_tfidf_terms,
         "weighted_sample": q_weighted_sample,
         "simhash_pairs": q_simhash_pairs,
         "embedding_near_dup": q_embedding_near_dup,
@@ -2205,6 +2235,7 @@ def build_oracles():
         "distinct_users": SQL_DISTINCT_USERS,
         "lineitem_rollup": SQL_LINEITEM_ROLLUP,
         "frequent_tokens": SQL_FREQUENT_TOKENS,
+        "tfidf_terms": SQL_TFIDF_TERMS,
         "weighted_sample": _sql_weighted_sample(),
         "lang_quality": _sql_lang_quality(),
     }

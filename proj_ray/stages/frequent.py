@@ -67,6 +67,80 @@ def exact_frequent(ds, text_col: str, min_frac: float,
     return counts.map_batches(keep, batch_format="pyarrow")
 
 
+def tfidf_terms(ds, id_col: str, text_col: str, min_tf: int = 3,
+                pattern: str = " "):
+    """Per-document TF-IDF term scores: tfidf = tf * ln(N / df).
+
+    Shape: documents are whole rows, so term frequencies resolve
+    inside each batch with one Arrow hash-count (no shuffle); document
+    frequencies need one token-keyed shuffle of per-batch (token,
+    distinct-docs) partials; the resulting df table is vocabulary-
+    bounded and broadcasts for the final stateless scoring pass.  Rows
+    filter on the exact integer tf >= min_tf."""
+    import ray
+
+    from proj_ray.stages.agg import hash_shuffle_aggregate
+    from proj_ray.stages.worker_cache import get_broadcast
+
+    def _doc_tokens(t: pa.Table):
+        import pyarrow.compute as pc
+
+        split = pc.split_pattern(t.column(text_col), pattern)
+        if isinstance(split, pa.ChunkedArray):
+            split = split.combine_chunks()
+        counts = pc.list_value_length(split).to_numpy(
+            zero_copy_only=False)
+        ids = np.repeat(t.column(id_col).to_numpy(zero_copy_only=False),
+                        counts)
+        return ids, pc.list_flatten(split)
+
+    def tf_batch(t: pa.Table) -> pa.Table:
+        ids, toks = _doc_tokens(t)
+        tbl = pa.table({id_col: pa.array(ids), "tok": toks,
+                        "tf": pa.array(np.ones(len(toks),
+                                                dtype=np.int64))})
+        out = tbl.group_by([id_col, "tok"]).aggregate([("tf", "sum")])
+        return out.rename_columns([id_col, "tok", "tf"])
+
+    tf = ds.map_batches(tf_batch, batch_format="pyarrow")
+
+    def df_batch(t: pa.Table) -> pa.Table:
+        # (tok, df) partial: each doc lives in exactly one batch, so
+        # per-batch distinct-doc counts sum to the global df
+        return pa.table({"tok": t.column("tok"),
+                         "df": pa.array(np.ones(len(t),
+                                                dtype=np.int64))})
+
+    df_tbl = hash_shuffle_aggregate(
+        tf.map_batches(df_batch, batch_format="pyarrow"),
+        ["tok"], [("df", "sum")]).materialize()
+    dfs = pa.concat_tables(ray.get(df_tbl.to_arrow_refs()),
+                           promote_options="default")
+    n_docs = ds.count()
+    order = np.argsort(np.asarray(dfs.column("tok")))
+    vocab = np.asarray(dfs.column("tok"))[order]
+    dfv = dfs.column("df").to_numpy(zero_copy_only=False)[order]
+    df_ref = ray.put((vocab, dfv))
+
+    def score(t: pa.Table) -> pa.Table:
+        vocab, dfv = get_broadcast(df_ref)
+        tfv = t.column("tf").to_numpy(zero_copy_only=False)
+        keep = tfv >= min_tf
+        t2 = t.filter(pa.array(keep))
+        toks = np.asarray(t2.column("tok"))
+        pos = np.searchsorted(vocab, toks)
+        tfidf = t2.column("tf").to_numpy(zero_copy_only=False) \
+            * np.log(n_docs / dfv[pos])
+        return pa.table({
+            id_col: t2.column(id_col),
+            "tok": t2.column("tok"),
+            "tf": t2.column("tf"),
+            "tfidf": pa.array(np.round(tfidf, 6)),
+        })
+
+    return tf.map_batches(score, batch_format="pyarrow")
+
+
 def _mg_merge(tok: np.ndarray, cnt: np.ndarray, k: int):
     """Merge counter lists: sum per token, subtract the (k+1)-largest
     count, drop non-positive — the Misra-Gries reduction."""

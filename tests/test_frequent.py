@@ -61,3 +61,28 @@ def test_misra_gries_guarantee():
         true_n = truth.get(tok, 0)
         assert est <= true_n, f"{tok} overcounted: {est} > {true_n}"
         assert true_n - est <= bound + 1e-9
+
+
+def test_tfidf_matches_sklearn_style_reference():
+    import ray.data as rd
+
+    from proj_ray.stages.frequent import tfidf_terms
+
+    df = _corpus(seed=29, n_docs=120)
+    df["doc_id"] = np.arange(len(df), dtype=np.int64)
+    out = tfidf_terms(rd.from_pandas(df), id_col="doc_id",
+                      text_col="text", min_tf=2).to_pandas()
+    # driver-side reference
+    toks = df.set_index("doc_id")["text"].str.split(" ").explode()
+    tf = toks.groupby([toks.index, toks.values]).size()
+    dfreq = toks.groupby(toks.values).apply(
+        lambda s: s.index.nunique())
+    n = len(df)
+    for (doc, tok), tfv in tf.items():
+        if tfv < 2:
+            continue
+        want = round(tfv * np.log(n / dfreq[tok]), 6)
+        got = out[(out["doc_id"] == doc) & (out["tok"] == tok)]
+        assert len(got) == 1
+        assert abs(got["tfidf"].iloc[0] - want) < 1e-9
+    assert (out["tf"] >= 2).all()
