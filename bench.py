@@ -69,6 +69,7 @@ QUERY_NAMES = [
     "orders_top100",
     "idle_customers",
     "distinct_users",
+    "urgent_orders",
     "lineitem_rollup",
     "frequent_tokens",
     "tfidf_terms",

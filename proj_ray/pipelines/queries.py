@@ -1607,6 +1607,65 @@ GROUP BY ROLLUP(l_returnflag, l_linestatus)
 """
 
 
+def q_urgent_orders(sf_dir: str):
+    """Exact big-big semi-join with Bloom pruning: orders that contain
+    a high-quantity lineitem (> 45), counted per priority.  The
+    lineitem build side becomes a 2^20-bit Bloom filter in one pass;
+    the orders probe side drops non-candidates BEFORE the exact
+    shuffle join (no false negatives -> same answer, smaller
+    exchange); the distinct-reduced key stream finishes it exactly."""
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    from proj_ray.stages.agg import tree_aggregate
+    from proj_ray.stages.bloom import bloom_build, bloom_prune
+    from proj_ray.stages.relational import shuffle_join
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey"],
+                         filter=pads.field("l_quantity") > 45.0)
+    bloom = bloom_build(li, "l_orderkey")
+
+    # exact side: distinct matching orderkeys (bounded by the order
+    # universe; per-batch unique + keyed combine)
+    def distinct_partial(t: pa.Table) -> pa.Table:
+        u = np.unique(t.column("l_orderkey")
+                      .to_numpy(zero_copy_only=False))
+        return pa.table({"l_orderkey": pa.array(u),
+                         "__one": pa.array(np.ones(len(u),
+                                                   dtype=np.int64))})
+
+    keys = tree_aggregate(
+        li.map_batches(distinct_partial, batch_format="pyarrow"),
+        ["l_orderkey"], [("__one", "min")])
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_orderpriority"])
+    pruned = bloom_prune(orders, "o_orderkey", bloom)
+    j = shuffle_join(pruned, keys, on="o_orderkey",
+                     right_on="l_orderkey")
+
+    def partial(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderpriority": t.column("o_orderpriority"),
+            "n_orders": pa.array(np.ones(len(t), dtype=np.int64)),
+        })
+
+    return tree_aggregate(j.map_batches(partial,
+                                        batch_format="pyarrow"),
+                          ["o_orderpriority"], [("n_orders", "sum")])
+
+
+SQL_URGENT_ORDERS = """
+SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_quantity > 45)
+GROUP BY o.o_orderpriority
+"""
+
+
 def q_distinct_users(sf_dir: str):
     """Exact COUNT(DISTINCT user) per event type: per-batch pair
     dedup, one pair-keyed hash shuffle to finish the dedup, small
@@ -2176,6 +2235,7 @@ def build_queries():
         "orders_top100": q_orders_top100,
         "idle_customers": q_idle_customers,
         "distinct_users": q_distinct_users,
+        "urgent_orders": q_urgent_orders,
         "lineitem_rollup": q_lineitem_rollup,
         "frequent_tokens": q_frequent_tokens,
         "tfidf_terms": q_tfidf_terms,
@@ -2233,6 +2293,7 @@ def build_oracles():
         "orders_top100": SQL_ORDERS_TOP100,
         "idle_customers": SQL_IDLE_CUSTOMERS,
         "distinct_users": SQL_DISTINCT_USERS,
+        "urgent_orders": SQL_URGENT_ORDERS,
         "lineitem_rollup": SQL_LINEITEM_ROLLUP,
         "frequent_tokens": SQL_FREQUENT_TOKENS,
         "tfidf_terms": SQL_TFIDF_TERMS,
