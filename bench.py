@@ -70,6 +70,7 @@ QUERY_NAMES = [
     "idle_customers",
     "distinct_users",
     "urgent_orders",
+    "kmeans_clusters",
     "lineitem_rollup",
     "frequent_tokens",
     "tfidf_terms",

@@ -2110,6 +2110,27 @@ def q_audio_chunks(sf_dir: str):
         batch_format="pandas")
 
 
+def q_kmeans_clusters(sf_dir: str):
+    """Distributed k-means over the embeddings (5 Lloyd rounds; the
+    corpus never moves — each round exchanges only blocks x k partial
+    sums).  Rows-only: per-cluster size plus centroid norm, fully
+    deterministic from the hash seeding."""
+    import ray.data as rd
+
+    from proj_ray.stages.cluster import distributed_kmeans
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    centroids, counts, inertia = distributed_kmeans(
+        ds, vec_col="embedding", id_col="vec_id", k=8, iters=5)
+    norms = np.sqrt((centroids * centroids).sum(axis=1))
+    return pd.DataFrame({
+        "cluster_id": np.arange(len(counts), dtype=np.int64),
+        "n_vectors": counts,
+        "centroid_norm": np.round(norms, 6),
+    })
+
+
 def q_lang_quality(sf_dir: str):
     import ray.data as rd
 
@@ -2245,6 +2266,7 @@ def build_queries():
         "ann_ivf": q_ann_ivf,
         "media_features": q_media_features,
         "audio_chunks": q_audio_chunks,
+        "kmeans_clusters": q_kmeans_clusters,
         "lang_quality": q_lang_quality,
     }
 

@@ -1,0 +1,108 @@
+"""Distributed k-means (Lloyd's algorithm over the full Dataset).
+
+The representative distributed ITERATIVE algorithm: each round
+broadcasts the k x dim centroid matrix (tiny), every batch assigns its
+vectors with ONE matmul and emits per-centroid partial (count,
+vec-sum) rows, and the driver combines the bounded partial stream
+(blocks x k rows) into new centroids.  The corpus itself never moves —
+per round the exchange is O(blocks * k * dim), independent of row
+count, which is exactly the shape that survives 100 TB.  Empty
+clusters keep their previous centroid.  Deterministic: hash-sampled
+seeding (no RNG), fixed iteration count.
+
+`stages/ann.kmeans_lite` is the cheap sampled variant used to seed IVF;
+this module is the exact full-data refinement.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _emb_matrix(t: pa.Table, vec_col: str) -> np.ndarray:
+    """(n, dim) float64 view of a vector column — parquet list<float>
+    arrays and Ray's tensor extension arrays both land here."""
+    col = t.column(vec_col)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if isinstance(col, (pa.ListArray, pa.LargeListArray,
+                        pa.FixedSizeListArray)):
+        flat = col.flatten()
+        dim = len(flat) // max(len(col), 1)
+        return np.asarray(flat.to_numpy(zero_copy_only=False)) \
+            .reshape(len(col), dim).astype(np.float64)
+    arr = col.to_numpy(zero_copy_only=False)
+    if arr.dtype == object:
+        return np.stack(arr).astype(np.float64)
+    return np.asarray(arr).astype(np.float64)
+
+
+def seed_centroids(ds, vec_col: str, id_col: str, k: int):
+    """Deterministic seeding: the k vectors with the smallest Knuth
+    hash of their id — order- and partitioning-independent."""
+    from proj_ray.stages.sampling import PHI64
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        h = (ids.astype(np.uint64) * PHI64).astype(np.uint64)
+        keep = np.argsort(h)[:k]
+        return t.take(pa.array(np.sort(keep))).append_column(
+            "__h", pa.array(h[np.sort(keep)]))
+
+    cand = ds.map_batches(partial, batch_format="pyarrow") \
+        .sort("__h").limit(k)
+    tbl = pa.concat_tables(
+        [b for b in cand.iter_batches(batch_format="pyarrow")],
+        promote_options="default")
+    return _emb_matrix(tbl, vec_col)
+
+
+def distributed_kmeans(ds, vec_col: str, id_col: str, k: int = 8,
+                       iters: int = 5):
+    """Lloyd's over the full Dataset.  Returns (centroids: k x dim,
+    counts: k, inertia: float) after `iters` rounds."""
+    import ray
+
+    centroids = seed_centroids(ds, vec_col, id_col, k)
+    dim = centroids.shape[1]
+    inertia = float("inf")
+    for _ in range(iters):
+        cref = ray.put(centroids)
+
+        def partial(t: pa.Table) -> pa.Table:
+            from proj_ray.stages.worker_cache import get_broadcast
+
+            c = get_broadcast(cref)
+            m = _emb_matrix(t, vec_col)
+            # one matmul: argmin ||x-c||^2 = argmax (x.c - |c|^2/2)
+            score = m @ c.T - 0.5 * (c * c).sum(axis=1)[None, :]
+            cid = np.argmax(score, axis=1)
+            d2 = (m * m).sum(axis=1) - 2 * score[np.arange(len(m)), cid]
+            order = np.argsort(cid, kind="stable")
+            uniq, starts = np.unique(cid[order], return_index=True)
+            sums = np.add.reduceat(m[order], starts, axis=0)
+            errs = np.add.reduceat(d2[order], starts)
+            n = np.diff(np.append(starts, len(order)))
+            return pa.table({
+                "cid": pa.array(uniq.astype(np.int64)),
+                "n": pa.array(n.astype(np.int64)),
+                "err": pa.array(errs),
+                "vsum": pa.array(list(sums),
+                                 type=pa.list_(pa.float64())),
+            })
+
+        parts = ds.map_batches(partial, batch_format="pyarrow") \
+            .take_all()
+        counts = np.zeros(k, dtype=np.int64)
+        sums = np.zeros((k, dim), dtype=np.float64)
+        inertia = 0.0
+        for row in parts:
+            counts[row["cid"]] += row["n"]
+            sums[row["cid"]] += np.asarray(row["vsum"])
+            inertia += row["err"]
+        nonempty = counts > 0
+        centroids = np.where(nonempty[:, None],
+                             sums / np.maximum(counts, 1)[:, None],
+                             centroids)
+    return centroids, counts, float(inertia)
