@@ -71,6 +71,8 @@ QUERY_NAMES = [
     "distinct_users",
     "urgent_orders",
     "kmeans_clusters",
+    "converting_hours",
+    "browse_hours",
     "lineitem_rollup",
     "frequent_tokens",
     "tfidf_terms",

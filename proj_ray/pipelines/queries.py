@@ -1666,6 +1666,59 @@ GROUP BY o.o_orderpriority
 """
 
 
+def _event_hours(sf_dir: str, event_type: str):
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts"],
+                         filter=pads.field("event_type") == event_type)
+
+    def to_hr(t: pa.Table) -> pa.Table:
+        us = t.column("ts").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").view(np.int64)
+        return pa.table({"hr": pa.array(us // 3_600_000_000)})
+
+    return ds.map_batches(to_hr, batch_format="pyarrow")
+
+
+def q_converting_hours(sf_dir: str):
+    """Distributed set INTERSECT: epoch hours with BOTH a click and a
+    purchase — side-tagged union of the two pruned streams, one
+    key-hash shuffle whose per-key side flags decide membership."""
+    from proj_ray.stages.relational import set_intersect
+
+    return set_intersect(_event_hours(sf_dir, "click"),
+                         _event_hours(sf_dir, "purchase"), col="hr")
+
+
+SQL_CONVERTING_HOURS = """
+SELECT DISTINCT epoch_us(ts) // 3600000000 AS hr FROM events
+WHERE event_type = 'click'
+INTERSECT
+SELECT DISTINCT epoch_us(ts) // 3600000000 AS hr FROM events
+WHERE event_type = 'purchase'
+"""
+
+
+def q_browse_hours(sf_dir: str):
+    """Distributed set EXCEPT: epoch hours with clicks but no
+    purchases."""
+    from proj_ray.stages.relational import set_except
+
+    return set_except(_event_hours(sf_dir, "click"),
+                      _event_hours(sf_dir, "purchase"), col="hr")
+
+
+SQL_BROWSE_HOURS = """
+SELECT DISTINCT epoch_us(ts) // 3600000000 AS hr FROM events
+WHERE event_type = 'click'
+EXCEPT
+SELECT DISTINCT epoch_us(ts) // 3600000000 AS hr FROM events
+WHERE event_type = 'purchase'
+"""
+
+
 def q_distinct_users(sf_dir: str):
     """Exact COUNT(DISTINCT user) per event type: per-batch pair
     dedup, one pair-keyed hash shuffle to finish the dedup, small
@@ -2257,6 +2310,8 @@ def build_queries():
         "idle_customers": q_idle_customers,
         "distinct_users": q_distinct_users,
         "urgent_orders": q_urgent_orders,
+        "converting_hours": q_converting_hours,
+        "browse_hours": q_browse_hours,
         "lineitem_rollup": q_lineitem_rollup,
         "frequent_tokens": q_frequent_tokens,
         "tfidf_terms": q_tfidf_terms,
@@ -2316,6 +2371,8 @@ def build_oracles():
         "idle_customers": SQL_IDLE_CUSTOMERS,
         "distinct_users": SQL_DISTINCT_USERS,
         "urgent_orders": SQL_URGENT_ORDERS,
+        "converting_hours": SQL_CONVERTING_HOURS,
+        "browse_hours": SQL_BROWSE_HOURS,
         "lineitem_rollup": SQL_LINEITEM_ROLLUP,
         "frequent_tokens": SQL_FREQUENT_TOKENS,
         "tfidf_terms": SQL_TFIDF_TERMS,

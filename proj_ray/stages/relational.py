@@ -175,3 +175,46 @@ def broadcast_join(big_ds, small_tbl: pa.Table, key: str,
         return pa.table(cols)
 
     return big_ds.map_batches(join_batch, batch_format="pyarrow")
+
+
+def _set_op(ds_a, ds_b, col: str, keep: str):
+    """Distinct set algebra over one column: tag each side, take the
+    union of the two streams (no data movement — union is lazy block
+    concat), per-batch dedup partials, then ONE key-hash shuffle whose
+    per-key min/max side flags decide membership.  `keep` is
+    "intersect" (key on both sides) or "except" (key on A only)."""
+    from proj_ray.stages.agg import hash_shuffle_aggregate
+
+    def tag(side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            u = np.unique(t.column(col).to_numpy(zero_copy_only=False))
+            return pa.table({
+                col: pa.array(u),
+                "__lo": pa.array(np.full(len(u), side, dtype=np.int64)),
+                "__hi": pa.array(np.full(len(u), side, dtype=np.int64)),
+            })
+        return fn
+
+    tagged = ds_a.map_batches(tag(0), batch_format="pyarrow") \
+        .union(ds_b.map_batches(tag(1), batch_format="pyarrow"))
+    agg = hash_shuffle_aggregate(tagged, [col],
+                                 [("__lo", "min"), ("__hi", "max")])
+
+    def fin(t: pa.Table) -> pa.Table:
+        lo = t.column("__lo").to_numpy(zero_copy_only=False)
+        hi = t.column("__hi").to_numpy(zero_copy_only=False)
+        mask = (lo == 0) & (hi == 1) if keep == "intersect" \
+            else (lo == 0) & (hi == 0)
+        return t.filter(pa.array(mask)).select([col])
+
+    return agg.map_batches(fin, batch_format="pyarrow")
+
+
+def set_intersect(ds_a, ds_b, col: str):
+    """DISTINCT values of `col` present in BOTH datasets."""
+    return _set_op(ds_a, ds_b, col, "intersect")
+
+
+def set_except(ds_a, ds_b, col: str):
+    """DISTINCT values of `col` present in A but NOT in B."""
+    return _set_op(ds_a, ds_b, col, "except")

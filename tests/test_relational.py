@@ -181,3 +181,20 @@ def test_anti_with_empty_small_side_keeps_everything():
     anti = broadcast_join(rd.from_pandas(big), empty, key="k",
                           right_key="sk", how="anti").to_pandas()
     assert len(anti) == len(big)
+
+
+def test_set_ops_match_python_sets():
+    import ray.data as rd
+
+    from proj_ray.stages.relational import set_except, set_intersect
+
+    rng = np.random.default_rng(23)
+    a = pd.DataFrame({"k": rng.integers(0, 300, 800)})
+    b = pd.DataFrame({"k": rng.integers(150, 450, 800)})
+    dsa = rd.from_pandas(a).repartition(4)
+    dsb = rd.from_pandas(b).repartition(3)
+    inter = set(set_intersect(dsa, dsb, "k").to_pandas()["k"])
+    exc = set(set_except(dsa, dsb, "k").to_pandas()["k"])
+    sa, sb = set(a["k"]), set(b["k"])
+    assert inter == sa & sb
+    assert exc == sa - sb
