@@ -73,6 +73,7 @@ QUERY_NAMES = [
     "kmeans_clusters",
     "converting_hours",
     "browse_hours",
+    "events_pivot",
     "lineitem_rollup",
     "frequent_tokens",
     "tfidf_terms",

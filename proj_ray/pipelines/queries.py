@@ -1719,6 +1719,57 @@ WHERE event_type = 'purchase'
 """
 
 
+_EVENT_TYPES = ("click", "purchase", "view", "signup", "error")
+
+
+def q_events_pivot(sf_dir: str):
+    """Pivot to wide: one row per epoch day, one count column per
+    event type.  The bounded column domain makes this a plain
+    conditional partial aggregation — each batch emits at most
+    days x 1 rows with all 5 counters, then the usual combine tree;
+    no per-type passes, no shuffle of the raw stream."""
+    import ray.data as rd
+
+    from proj_ray.stages.agg import tree_aggregate
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = t.column("ts").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").view(np.int64)
+        day = us // 86_400_000_000
+        et = np.asarray(t.column("event_type"))
+        uniq, inv = np.unique(day, return_inverse=True)
+        cols = {"day": pa.array(uniq.astype(np.int64))}
+        for name in _EVENT_TYPES:
+            cnt = np.bincount(inv, weights=(et == name),
+                              minlength=len(uniq))
+            cols[f"n_{name}"] = pa.array(cnt.astype(np.int64))
+        return pa.table(cols)
+
+    return tree_aggregate(ds.map_batches(partial,
+                                         batch_format="pyarrow"),
+                          ["day"],
+                          [(f"n_{n}", "sum") for n in _EVENT_TYPES])
+
+
+SQL_EVENTS_PIVOT = """
+SELECT epoch_us(ts) // 86400000000 AS day,
+       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_click,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_purchase,
+       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_view,
+       CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_signup,
+       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_error
+FROM events GROUP BY 1
+"""
+
+
 def q_distinct_users(sf_dir: str):
     """Exact COUNT(DISTINCT user) per event type: per-batch pair
     dedup, one pair-keyed hash shuffle to finish the dedup, small
@@ -2311,6 +2362,7 @@ def build_queries():
         "distinct_users": q_distinct_users,
         "urgent_orders": q_urgent_orders,
         "converting_hours": q_converting_hours,
+        "events_pivot": q_events_pivot,
         "browse_hours": q_browse_hours,
         "lineitem_rollup": q_lineitem_rollup,
         "frequent_tokens": q_frequent_tokens,
@@ -2372,6 +2424,7 @@ def build_oracles():
         "distinct_users": SQL_DISTINCT_USERS,
         "urgent_orders": SQL_URGENT_ORDERS,
         "converting_hours": SQL_CONVERTING_HOURS,
+        "events_pivot": SQL_EVENTS_PIVOT,
         "browse_hours": SQL_BROWSE_HOURS,
         "lineitem_rollup": SQL_LINEITEM_ROLLUP,
         "frequent_tokens": SQL_FREQUENT_TOKENS,
