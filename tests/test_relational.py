@@ -198,3 +198,46 @@ def test_set_ops_match_python_sets():
     sa, sb = set(a["k"]), set(b["k"])
     assert inter == sa & sb
     assert exc == sa - sb
+
+
+def test_interval_join_property_random_layouts():
+    """Property test: arbitrary (possibly nested/duplicate/point)
+    intervals against brute force."""
+    import ray.data as rd
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from proj_ray.stages.relational import interval_join
+
+    @settings(max_examples=15, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    @given(
+        ivs=st.lists(st.tuples(st.integers(-50, 50),
+                               st.integers(0, 30)),
+                     min_size=1, max_size=10),
+        xs=st.lists(st.integers(-60, 90), min_size=1, max_size=40),
+    )
+    def check(ivs, xs):
+        iv = pd.DataFrame({
+            "win_id": np.arange(len(ivs), dtype=np.int64),
+            "ws": np.array([s for s, _ in ivs], dtype=np.int64),
+            "we": np.array([s + w for s, w in ivs], dtype=np.int64),
+        })
+        big = pd.DataFrame({
+            "row_id": np.arange(len(xs), dtype=np.int64),
+            "x": np.array(xs, dtype=np.int64),
+        })
+        got = interval_join(rd.from_pandas(big),
+                            pa.Table.from_pandas(iv),
+                            on="x", start="ws", end="we").to_pandas()
+        want = {(r, w) for r, x in zip(big["row_id"], big["x"])
+                for w, s, e in zip(iv["win_id"], iv["ws"], iv["we"])
+                if s <= x <= e}
+        if len(got) == 0:
+            # Ray's to_pandas drops columns on a fully-empty Dataset
+            assert want == set()
+        else:
+            assert set(zip(got["row_id"], got["win_id"])) == want
+            assert len(got) == len(want)
+
+    check()
