@@ -74,6 +74,7 @@ QUERY_NAMES = [
     "converting_hours",
     "browse_hours",
     "events_pivot",
+    "orders_quartiles",
     "lineitem_rollup",
     "frequent_tokens",
     "tfidf_terms",

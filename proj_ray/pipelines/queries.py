@@ -1722,6 +1722,63 @@ WHERE event_type = 'purchase'
 _EVENT_TYPES = ("click", "purchase", "view", "signup", "error")
 
 
+def q_orders_quartiles(sf_dir: str):
+    """NTILE window function: per-priority price quartiles (rank
+    buckets sized to differ by at most one, larger first — SQL NTILE
+    semantics), then counts and sums per (priority, quartile)."""
+    import ray.data as rd
+
+    from proj_ray.stages.agg import tree_aggregate
+    from proj_ray.stages.windows import keyed_ntile
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_orderkey", "o_orderpriority",
+                                  "o_totalprice"])
+    # string keys get an int surrogate for the partition map — hash
+    # once per UNIQUE value (bounded domain), broadcast by inverse
+    def add_key(t: pa.Table) -> pa.Table:
+        import zlib
+
+        pr = np.asarray(t.column("o_orderpriority"))
+        uniq, inv = np.unique(pr, return_inverse=True)
+        h = np.array([zlib.crc32(str(u).encode()) for u in uniq],
+                     dtype=np.int64)[inv]
+        return t.append_column("__pk", pa.array(h))
+
+    tiled = keyed_ntile(ds.map_batches(add_key, batch_format="pyarrow"),
+                        key="__pk", order_col="o_totalprice",
+                        n_tiles=4, tiebreak="o_orderkey",
+                        out_col="quartile")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["o_orderpriority", "quartile"],
+                          as_index=False).agg(
+            n=("o_totalprice", "count"),
+            sum_price=("o_totalprice", "sum"))
+
+    agg = tree_aggregate(tiled.map_batches(partial,
+                                           batch_format="pandas"),
+                         ["o_orderpriority", "quartile"],
+                         [("n", "sum"), ("sum_price", "sum")])
+    return agg.map_batches(
+        lambda df: df.assign(n=df["n"].astype("int64"),
+                             sum_price=np.round(df["sum_price"], 2)),
+        batch_format="pandas")
+
+
+SQL_ORDERS_QUARTILES = """
+WITH t AS (
+  SELECT o_orderpriority, o_totalprice,
+         ntile(4) OVER (PARTITION BY o_orderpriority
+                        ORDER BY o_totalprice, o_orderkey) AS quartile
+  FROM orders)
+SELECT o_orderpriority, CAST(quartile AS BIGINT) AS quartile,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(o_totalprice), 2) AS sum_price
+FROM t GROUP BY 1, 2
+"""
+
+
 def q_events_pivot(sf_dir: str):
     """Pivot to wide: one row per epoch day, one count column per
     event type.  The bounded column domain makes this a plain
@@ -2363,6 +2420,7 @@ def build_queries():
         "urgent_orders": q_urgent_orders,
         "converting_hours": q_converting_hours,
         "events_pivot": q_events_pivot,
+        "orders_quartiles": q_orders_quartiles,
         "browse_hours": q_browse_hours,
         "lineitem_rollup": q_lineitem_rollup,
         "frequent_tokens": q_frequent_tokens,
@@ -2425,6 +2483,7 @@ def build_oracles():
         "urgent_orders": SQL_URGENT_ORDERS,
         "converting_hours": SQL_CONVERTING_HOURS,
         "events_pivot": SQL_EVENTS_PIVOT,
+        "orders_quartiles": SQL_ORDERS_QUARTILES,
         "browse_hours": SQL_BROWSE_HOURS,
         "lineitem_rollup": SQL_LINEITEM_ROLLUP,
         "frequent_tokens": SQL_FREQUENT_TOKENS,

@@ -270,3 +270,60 @@ def keyed_cumsum(ds, key: str, time: str, value_cols: list[str],
 
     return ds.map_batches(add_part, batch_format="pyarrow") \
         .groupby("__part").map_groups(resolve, batch_format="pyarrow")
+
+
+def keyed_ntile(ds, key: str, order_col: str, n_tiles: int,
+                num_partitions: int = 32, tiebreak: str | None = None,
+                out_col: str = "tile_no"):
+    """SQL NTILE(n) OVER (PARTITION BY key ORDER BY order_col):
+    each key's rows split into n rank buckets whose sizes differ by at
+    most one (larger buckets first), 1-based like SQL.  Same shape as
+    the other keyed window functions: one key-hash shuffle, a
+    per-partition lexsort, vectorized rank -> bucket arithmetic."""
+    def add_part(t: pa.Table) -> pa.Table:
+        k = t.column(key).to_numpy(zero_copy_only=False)
+        return t.append_column("__part",
+                               pa.array(_part(k, num_partitions)))
+
+    def resolve(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["__part"])
+        n = len(t)
+        if n == 0:
+            return t.append_column(out_col,
+                                   pa.array([], type=pa.int64()))
+        k = t.column(key).to_numpy(zero_copy_only=False)
+        ov = t.column(order_col).to_numpy(zero_copy_only=False)
+        ov = ov.view(np.int64) if ov.dtype.kind == "M" else ov
+        if tiebreak is not None:
+            tb = t.column(tiebreak).to_numpy(zero_copy_only=False)
+            order = np.lexsort((tb, ov, k))
+        else:
+            order = np.lexsort((ov, k))
+        ks = k[order]
+        first = np.empty(n, dtype=bool)
+        first[0] = True
+        first[1:] = ks[1:] != ks[:-1]
+        row = np.arange(n, dtype=np.int64)
+        run_start = np.maximum.accumulate(np.where(first, row, -1))
+        rank = row - run_start
+        # run length broadcast down each run (next start - this start)
+        starts_idx = np.nonzero(first)[0]
+        lens = np.diff(np.append(starts_idx, n))
+        run_len = np.repeat(lens, lens)
+        # SQL NTILE: q, rem = divmod(len, n_tiles); buckets 1..rem have
+        # q+1 rows, the rest have q
+        q, rem = run_len // n_tiles, run_len % n_tiles
+        big = rem * (q + 1)
+        in_big = rank < big
+        bucket = np.where(
+            in_big,
+            rank // np.maximum(q + 1, 1),
+            rem + (rank - big) // np.maximum(q, 1),
+        ) + 1
+        inv = np.empty(n, dtype=np.int64)
+        inv[order] = np.arange(n)
+        return t.append_column(out_col,
+                               pa.array(bucket[inv].astype(np.int64)))
+
+    return ds.map_batches(add_part, batch_format="pyarrow") \
+        .groupby("__part").map_groups(resolve, batch_format="pyarrow")

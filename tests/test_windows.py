@@ -178,3 +178,37 @@ def test_keyed_cumsum_matches_pandas():
     want = want.assign(v_cum=want.groupby("k")["v"].cumsum())
     want = want.sort_values("rid").reset_index(drop=True)
     assert np.allclose(got["v_cum"], want["v_cum"], rtol=0, atol=1e-12)
+
+
+def test_keyed_ntile_matches_sql_semantics():
+    """NTILE bucket sizes differ by at most one, larger first; exact
+    match against a reference implementing SQL's definition."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from proj_ray.stages.windows import keyed_ntile
+
+    rng = np.random.default_rng(12)
+    n = 700
+    df = pd.DataFrame({
+        "rid": np.arange(n, dtype=np.int64),
+        "k": rng.integers(0, 9, n),
+        "v": rng.normal(size=n),
+    })
+    out = keyed_ntile(rd.from_pandas(df), key="k", order_col="v",
+                      n_tiles=4, tiebreak="rid").to_pandas() \
+        .sort_values("rid").reset_index(drop=True)
+
+    def ref_ntile(g):
+        m = len(g)
+        q, rem = divmod(m, 4)
+        sizes = [q + 1] * rem + [q] * (4 - rem)
+        buckets = np.repeat(np.arange(1, 5), sizes[:4])[:m]
+        g = g.sort_values(["v", "rid"]).copy()
+        g["want"] = buckets
+        return g
+
+    want = df.groupby("k", group_keys=False).apply(ref_ntile) \
+        .sort_values("rid").reset_index(drop=True)
+    assert (out["tile_no"].to_numpy() == want["want"].to_numpy()).all()
