@@ -75,6 +75,7 @@ QUERY_NAMES = [
     "browse_hours",
     "events_pivot",
     "orders_quartiles",
+    "events_melt",
     "lineitem_rollup",
     "frequent_tokens",
     "tfidf_terms",

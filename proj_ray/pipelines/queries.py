@@ -1827,6 +1827,39 @@ FROM events GROUP BY 1
 """
 
 
+def q_events_melt(sf_dir: str):
+    """Pivot round trip: the wide per-day table melts back to long
+    (day, event_type, n) rows — unpivot is a stateless fan-out, and
+    dropping the structural zeros recovers exactly the plain
+    GROUP BY, which is the oracle."""
+    from proj_ray.stages.relational import melt
+
+    wide = q_events_pivot(sf_dir)
+    long = melt(wide, id_cols=["day"],
+                value_cols=[f"n_{n}" for n in _EVENT_TYPES],
+                var_name="event_type", value_name="n")
+
+    def fin(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        n = t.column("n").to_numpy(zero_copy_only=False)
+        t2 = t.filter(pa.array(n > 0))
+        et = pc.utf8_replace_slice(t2.column("event_type"),
+                                   start=0, stop=2, replacement="")
+        return pa.table({"day": t2.column("day"),
+                         "event_type": et,
+                         "n": t2.column("n")})
+
+    return long.map_batches(fin, batch_format="pyarrow")
+
+
+SQL_EVENTS_MELT = """
+SELECT epoch_us(ts) // 86400000000 AS day, event_type,
+       CAST(count(*) AS BIGINT) AS n
+FROM events GROUP BY 1, 2
+"""
+
+
 def q_distinct_users(sf_dir: str):
     """Exact COUNT(DISTINCT user) per event type: per-batch pair
     dedup, one pair-keyed hash shuffle to finish the dedup, small
@@ -2421,6 +2454,7 @@ def build_queries():
         "converting_hours": q_converting_hours,
         "events_pivot": q_events_pivot,
         "orders_quartiles": q_orders_quartiles,
+        "events_melt": q_events_melt,
         "browse_hours": q_browse_hours,
         "lineitem_rollup": q_lineitem_rollup,
         "frequent_tokens": q_frequent_tokens,
@@ -2484,6 +2518,7 @@ def build_oracles():
         "converting_hours": SQL_CONVERTING_HOURS,
         "events_pivot": SQL_EVENTS_PIVOT,
         "orders_quartiles": SQL_ORDERS_QUARTILES,
+        "events_melt": SQL_EVENTS_MELT,
         "browse_hours": SQL_BROWSE_HOURS,
         "lineitem_rollup": SQL_LINEITEM_ROLLUP,
         "frequent_tokens": SQL_FREQUENT_TOKENS,

@@ -218,3 +218,30 @@ def set_intersect(ds_a, ds_b, col: str):
 def set_except(ds_a, ds_b, col: str):
     """DISTINCT values of `col` present in A but NOT in B."""
     return _set_op(ds_a, ds_b, col, "except")
+
+
+def melt(ds, id_cols: list[str], value_cols: list[str],
+         var_name: str = "variable", value_name: str = "value"):
+    """Unpivot wide columns to long rows (the inverse of a pivot):
+    each input row emits len(value_cols) rows tagged with the source
+    column name.  A stateless vectorized fan-out — no shuffle, blow-up
+    factor exactly len(value_cols)."""
+    def fan(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        n = len(t)
+        m = len(value_cols)
+        idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), m))
+        cols = {c: pc.take(t.column(c), idx) for c in id_cols}
+        cols[var_name] = pa.array(
+            np.tile(np.array(value_cols, dtype=object), n))
+        vals = [t.column(c).to_numpy(zero_copy_only=False)
+                for c in value_cols]
+        stacked = np.empty(n * m, dtype=np.result_type(*vals)
+                           if vals else np.float64)
+        for j, v in enumerate(vals):
+            stacked[j::m] = v
+        cols[value_name] = pa.array(stacked)
+        return pa.table(cols)
+
+    return ds.map_batches(fan, batch_format="pyarrow")

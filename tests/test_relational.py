@@ -241,3 +241,22 @@ def test_interval_join_property_random_layouts():
             assert len(got) == len(want)
 
     check()
+
+
+def test_melt_inverts_wide_table():
+    import ray.data as rd
+
+    from proj_ray.stages.relational import melt
+
+    wide = pd.DataFrame({
+        "id": np.arange(4, dtype=np.int64),
+        "a": [1.0, 2.0, 3.0, 4.0],
+        "b": [10.0, 20.0, 30.0, 40.0],
+    })
+    out = melt(rd.from_pandas(wide), id_cols=["id"],
+               value_cols=["a", "b"]).to_pandas()
+    want = wide.melt(id_vars=["id"], value_vars=["a", "b"]) \
+        .sort_values(["id", "variable"]).reset_index(drop=True)
+    got = out.sort_values(["id", "variable"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[["id", "variable", "value"]],
+                                  want[["id", "variable", "value"]])
