@@ -76,6 +76,7 @@ QUERY_NAMES = [
     "events_pivot",
     "orders_quartiles",
     "events_melt",
+    "lineitem_corr",
     "lineitem_rollup",
     "frequent_tokens",
     "tfidf_terms",

@@ -2061,6 +2061,59 @@ GROUP BY r.r_name
 """
 
 
+def q_lineitem_corr(sf_dir: str):
+    """Algebraic aggregates from mergeable moments: per return flag,
+    Pearson correlation of quantity vs extended price and the sample
+    stddev of quantity — each batch contributes only (n, sums,
+    sums-of-squares, cross-sum), so the combine tree carries a
+    constant-size partial regardless of row count."""
+    import ray.data as rd
+
+    from proj_ray.stages.agg import tree_aggregate
+
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_returnflag", "l_quantity",
+                                  "l_extendedprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        x = df["l_quantity"]
+        y = df["l_extendedprice"]
+        return df.assign(n=1, sx=x, sy=y, sxx=x * x, syy=y * y,
+                         sxy=x * y) \
+            .groupby("l_returnflag", as_index=False)[
+                ["n", "sx", "sy", "sxx", "syy", "sxy"]].sum()
+
+    agg = tree_aggregate(ds.map_batches(partial, batch_format="pandas"),
+                         ["l_returnflag"],
+                         [("n", "sum"), ("sx", "sum"), ("sy", "sum"),
+                          ("sxx", "sum"), ("syy", "sum"),
+                          ("sxy", "sum")])
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n"].astype(np.float64)
+        covxy = df["sxy"] - df["sx"] * df["sy"] / n
+        varx = df["sxx"] - df["sx"] ** 2 / n
+        vary = df["syy"] - df["sy"] ** 2 / n
+        return pd.DataFrame({
+            "l_returnflag": df["l_returnflag"],
+            "n": df["n"].astype("int64"),
+            "qty_price_corr": np.round(
+                covxy / np.sqrt(varx * vary), 6),
+            "qty_stddev": np.round(np.sqrt(varx / (n - 1)), 2),
+        })
+
+    return agg.map_batches(fin, batch_format="pandas",
+                           batch_size=None)
+
+
+SQL_LINEITEM_CORR = """
+SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+       round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+       round(stddev_samp(l_quantity), 2) AS qty_stddev
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 def q_orders_pctile(sf_dir: str):
     """Exact per-priority price quantiles (median + p90) — the
     bounded-key holistic-aggregate path; approx_quantiles is the
@@ -2455,6 +2508,7 @@ def build_queries():
         "events_pivot": q_events_pivot,
         "orders_quartiles": q_orders_quartiles,
         "events_melt": q_events_melt,
+        "lineitem_corr": q_lineitem_corr,
         "browse_hours": q_browse_hours,
         "lineitem_rollup": q_lineitem_rollup,
         "frequent_tokens": q_frequent_tokens,
@@ -2519,6 +2573,7 @@ def build_oracles():
         "events_pivot": SQL_EVENTS_PIVOT,
         "orders_quartiles": SQL_ORDERS_QUARTILES,
         "events_melt": SQL_EVENTS_MELT,
+        "lineitem_corr": SQL_LINEITEM_CORR,
         "browse_hours": SQL_BROWSE_HOURS,
         "lineitem_rollup": SQL_LINEITEM_ROLLUP,
         "frequent_tokens": SQL_FREQUENT_TOKENS,
