@@ -77,6 +77,7 @@ QUERY_NAMES = [
     "orders_quartiles",
     "events_melt",
     "lineitem_corr",
+    "user_journeys",
     "lineitem_rollup",
     "frequent_tokens",
     "tfidf_terms",

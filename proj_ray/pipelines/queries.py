@@ -2061,6 +2061,29 @@ GROUP BY r.r_name
 """
 
 
+def q_user_journeys(sf_dir: str):
+    """Order-sensitive aggregation: each user's full event-type
+    sequence as a comma-joined string in (ts, event_id) order — one
+    key shuffle, per-run joins (SQL string_agg ... ORDER BY)."""
+    import ray.data as rd
+
+    from proj_ray.stages.windows import keyed_string_agg
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts",
+                                  "event_type"])
+    return keyed_string_agg(ds, key="user_id", time="ts",
+                            value_col="event_type",
+                            tiebreak="event_id", out_col="journey")
+
+
+SQL_USER_JOURNEYS = """
+SELECT user_id,
+       string_agg(event_type, ',' ORDER BY ts, event_id) AS journey
+FROM events GROUP BY user_id
+"""
+
+
 def q_lineitem_corr(sf_dir: str):
     """Algebraic aggregates from mergeable moments: per return flag,
     Pearson correlation of quantity vs extended price and the sample
@@ -2509,6 +2532,7 @@ def build_queries():
         "orders_quartiles": q_orders_quartiles,
         "events_melt": q_events_melt,
         "lineitem_corr": q_lineitem_corr,
+        "user_journeys": q_user_journeys,
         "browse_hours": q_browse_hours,
         "lineitem_rollup": q_lineitem_rollup,
         "frequent_tokens": q_frequent_tokens,
@@ -2574,6 +2598,7 @@ def build_oracles():
         "orders_quartiles": SQL_ORDERS_QUARTILES,
         "events_melt": SQL_EVENTS_MELT,
         "lineitem_corr": SQL_LINEITEM_CORR,
+        "user_journeys": SQL_USER_JOURNEYS,
         "browse_hours": SQL_BROWSE_HOURS,
         "lineitem_rollup": SQL_LINEITEM_ROLLUP,
         "frequent_tokens": SQL_FREQUENT_TOKENS,

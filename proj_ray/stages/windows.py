@@ -327,3 +327,47 @@ def keyed_ntile(ds, key: str, order_col: str, n_tiles: int,
 
     return ds.map_batches(add_part, batch_format="pyarrow") \
         .groupby("__part").map_groups(resolve, batch_format="pyarrow")
+
+
+def keyed_string_agg(ds, key: str, time: str, value_col: str,
+                     sep: str = ",", num_partitions: int = 32,
+                     tiebreak: str | None = None,
+                     out_col: str = "agg"):
+    """Order-sensitive aggregation: SQL's
+    ``string_agg(value, sep ORDER BY time)`` per key.  One key-hash
+    shuffle, per-partition lexsort; the join loop is over KEY RUNS
+    (bounded by the partition's distinct keys), not rows."""
+    def add_part(t: pa.Table) -> pa.Table:
+        k = t.column(key).to_numpy(zero_copy_only=False)
+        return t.append_column("__part",
+                               pa.array(_part(k, num_partitions)))
+
+    def resolve(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["__part"])
+        n = len(t)
+        if n == 0:
+            return pa.table({key: t.column(key),
+                             out_col: pa.array([], type=pa.string())})
+        k = t.column(key).to_numpy(zero_copy_only=False)
+        tv = t.column(time).to_numpy(zero_copy_only=False)
+        tv = tv.view(np.int64) if tv.dtype.kind == "M" else tv
+        if tiebreak is not None:
+            tb = t.column(tiebreak).to_numpy(zero_copy_only=False)
+            order = np.lexsort((tb, tv, k))
+        else:
+            order = np.lexsort((tv, k))
+        ks = k[order]
+        vals = np.asarray(t.column(value_col))[order]
+        first = np.empty(n, dtype=bool)
+        first[0] = True
+        first[1:] = ks[1:] != ks[:-1]
+        starts = np.nonzero(first)[0]
+        ends = np.append(starts[1:], n)
+        return pa.table({
+            key: pa.array(ks[starts]),
+            out_col: pa.array([sep.join(vals[s:e])
+                               for s, e in zip(starts, ends)]),
+        })
+
+    return ds.map_batches(add_part, batch_format="pyarrow") \
+        .groupby("__part").map_groups(resolve, batch_format="pyarrow")
