@@ -78,6 +78,7 @@ QUERY_NAMES = [
     "events_melt",
     "lineitem_corr",
     "user_journeys",
+    "brand_supplier_revenue",
     "lineitem_rollup",
     "frequent_tokens",
     "tfidf_terms",

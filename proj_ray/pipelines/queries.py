@@ -2034,15 +2034,17 @@ def q_order_revenue(sf_dir: str):
     agg = tree_aggregate(j.map_batches(partial, batch_format="pandas"),
                          ["o_orderpriority"],
                          [("revenue", "sum"), ("n_items", "sum")])
+    # 4 dp: per-item revenue is an exact 4-dp decimal, so the rounded
+    # sum is order-independent (2 dp can land on a boundary)
     return agg.map_batches(
-        lambda df: df.assign(revenue=np.round(df["revenue"], 2),
+        lambda df: df.assign(revenue=np.round(df["revenue"], 4),
                              n_items=df["n_items"].astype("int64")),
         batch_format="pandas")
 
 
 SQL_ORDER_REVENUE = """
 SELECT o.o_orderpriority,
-       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
        CAST(count(*) AS BIGINT) AS n_items
 FROM lineitem l
 JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -2058,6 +2060,66 @@ FROM customer c
 JOIN nation n ON c.c_nationkey = n.n_nationkey
 JOIN region r ON n.n_regionkey = r.r_regionkey
 GROUP BY r.r_name
+"""
+
+
+def q_brand_supplier_revenue(sf_dir: str):
+    """Star-schema rollup over the two remaining dimension tables:
+    lineitem resolves part brand AND supplier nation through two
+    broadcast lookups (the fact stream never shuffles), then a
+    combine-tree aggregate per (brand, nation)."""
+    import ray
+    import ray.data as rd
+
+    from proj_ray.stages.agg import tree_aggregate
+    from proj_ray.stages.relational import broadcast_join
+
+    def _small(name, cols):
+        return pa.concat_tables(
+            [b for b in rd.read_parquet(f"{sf_dir}/{name}.parquet",
+                                        columns=cols)
+             .iter_batches(batch_format="pyarrow")],
+            promote_options="default")
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_partkey", "l_suppkey",
+                                  "l_extendedprice", "l_discount"])
+    j = broadcast_join(li, _small("part", ["p_partkey", "p_brand"]),
+                       key="l_partkey", right_key="p_partkey")
+    j = broadcast_join(j, _small("supplier",
+                                 ["s_suppkey", "s_nationkey"]),
+                       key="l_suppkey", right_key="s_suppkey")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(
+            revenue=df["l_extendedprice"] * (1 - df["l_discount"]))
+        return df.groupby(["p_brand", "s_nationkey"],
+                          as_index=False).agg(
+            revenue=("revenue", "sum"),
+            n_items=("revenue", "count"))
+
+    agg = tree_aggregate(j.map_batches(partial, batch_format="pandas"),
+                         ["p_brand", "s_nationkey"],
+                         [("revenue", "sum"), ("n_items", "sum")])
+    # round at 4 decimals: per-item revenue is an exact 4-dp decimal
+    # (2-dp price x 2-dp discount), so sums never sit on a rounding
+    # boundary there — at 2 dp they can, and summation order flips
+    # the last cent
+    return agg.map_batches(
+        lambda df: df.assign(revenue=np.round(df["revenue"], 4),
+                             n_items=df["n_items"].astype("int64")),
+        batch_format="pandas")
+
+
+SQL_BRAND_SUPPLIER_REVENUE = """
+SELECT p.p_brand, s.s_nationkey,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 4)
+         AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+GROUP BY p.p_brand, s.s_nationkey
 """
 
 
@@ -2533,6 +2595,7 @@ def build_queries():
         "events_melt": q_events_melt,
         "lineitem_corr": q_lineitem_corr,
         "user_journeys": q_user_journeys,
+        "brand_supplier_revenue": q_brand_supplier_revenue,
         "browse_hours": q_browse_hours,
         "lineitem_rollup": q_lineitem_rollup,
         "frequent_tokens": q_frequent_tokens,
@@ -2599,6 +2662,7 @@ def build_oracles():
         "events_melt": SQL_EVENTS_MELT,
         "lineitem_corr": SQL_LINEITEM_CORR,
         "user_journeys": SQL_USER_JOURNEYS,
+        "brand_supplier_revenue": SQL_BRAND_SUPPLIER_REVENUE,
         "browse_hours": SQL_BROWSE_HOURS,
         "lineitem_rollup": SQL_LINEITEM_ROLLUP,
         "frequent_tokens": SQL_FREQUENT_TOKENS,
