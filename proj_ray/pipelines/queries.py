@@ -1624,7 +1624,6 @@ def q_urgent_orders(sf_dir: str):
     li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
                          columns=["l_orderkey"],
                          filter=pads.field("l_quantity") > 45.0)
-    bloom = bloom_build(li, "l_orderkey")
 
     # exact side: distinct matching orderkeys (bounded by the order
     # universe; per-batch unique + keyed combine)
@@ -1637,7 +1636,10 @@ def q_urgent_orders(sf_dir: str):
 
     keys = tree_aggregate(
         li.map_batches(distinct_partial, batch_format="pyarrow"),
-        ["l_orderkey"], [("__one", "min")])
+        ["l_orderkey"], [("__one", "min")]).materialize()
+    # the Bloom builds from the REDUCED key set — one corpus pass
+    # total instead of two (the filter only needs the keys' identity)
+    bloom = bloom_build(keys, "l_orderkey")
 
     orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
                              columns=["o_orderkey", "o_orderpriority"])
