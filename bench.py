@@ -79,6 +79,7 @@ QUERY_NAMES = [
     "lineitem_corr",
     "user_journeys",
     "brand_supplier_revenue",
+    "last_events",
     "lineitem_rollup",
     "frequent_tokens",
     "tfidf_terms",

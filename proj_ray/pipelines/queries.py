@@ -2125,6 +2125,53 @@ GROUP BY p.p_brand, s.s_nationkey
 """
 
 
+def q_last_events(sf_dir: str):
+    """Argmax aggregate: each user's LAST event (type + value) —
+    grouped top-k with k=1 on event time, so every batch ships at most
+    one row per key it contains and the shuffle moves O(users)."""
+    import ray.data as rd
+
+    from proj_ray.stages.windows import grouped_top_k
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts",
+                                  "event_type", "value"])
+
+    def ts_key(t: pa.Table) -> pa.Table:
+        us = t.column("ts").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").view(np.int64)
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        t = t.append_column("__score", pa.array(us))
+        # tiebreak sorts ascending, so negate the id to pick the
+        # LARGEST event_id among equal timestamps (SQL's ts DESC,
+        # event_id DESC)
+        return t.append_column("__ntb", pa.array(-eid))
+
+    top = grouped_top_k(ds.map_batches(ts_key, batch_format="pyarrow"),
+                        key="user_id", score="__score", k=1,
+                        descending=True, tiebreak="__ntb")
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t.column("user_id"),
+            "event_type": t.column("event_type"),
+            "last_value": pa.array(np.round(
+                t.column("value").to_numpy(zero_copy_only=False), 6)),
+        })
+
+    return top.map_batches(fin, batch_format="pyarrow")
+
+
+SQL_LAST_EVENTS = """
+SELECT user_id, event_type, round(value, 6) AS last_value
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC)
+               AS rn
+      FROM events)
+WHERE rn = 1
+"""
+
+
 def q_user_journeys(sf_dir: str):
     """Order-sensitive aggregation: each user's full event-type
     sequence as a comma-joined string in (ts, event_id) order — one
@@ -2598,6 +2645,7 @@ def build_queries():
         "lineitem_corr": q_lineitem_corr,
         "user_journeys": q_user_journeys,
         "brand_supplier_revenue": q_brand_supplier_revenue,
+        "last_events": q_last_events,
         "browse_hours": q_browse_hours,
         "lineitem_rollup": q_lineitem_rollup,
         "frequent_tokens": q_frequent_tokens,
@@ -2665,6 +2713,7 @@ def build_oracles():
         "lineitem_corr": SQL_LINEITEM_CORR,
         "user_journeys": SQL_USER_JOURNEYS,
         "brand_supplier_revenue": SQL_BRAND_SUPPLIER_REVENUE,
+        "last_events": SQL_LAST_EVENTS,
         "browse_hours": SQL_BROWSE_HOURS,
         "lineitem_rollup": SQL_LINEITEM_ROLLUP,
         "frequent_tokens": SQL_FREQUENT_TOKENS,

@@ -25,5 +25,5 @@ def test_registry_size_floor():
     """Coverage must never silently shrink below the round-3 level."""
     import __ray_entry__ as e
 
-    assert len(e.queries()) >= 66
-    assert len(e.oracle_sql()) >= 56
+    assert len(e.queries()) >= 67
+    assert len(e.oracle_sql()) >= 57
