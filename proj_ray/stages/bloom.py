@@ -32,11 +32,14 @@ def _indexes(vals: np.ndarray, m_bits: int, k: int) -> np.ndarray:
         .astype(np.int64)
 
 
-def bloom_build(ds, col: str, m_bits: int = 1 << 20, k: int = 5):
+def bloom_build(ds, col: str, m_bits: int = 1 << 20, k: int = 5,
+                fanout: int = 32):
     """One corpus pass -> a packed uint64 bitmap (m_bits/64 words).
-    Per-block partials are bitmaps too, so the reduce is an
-    associative OR over n_blocks small arrays (driver-side: bounded by
-    block count x m/8 bytes)."""
+    Per-block partials are bitmaps too and OR is associative, so one
+    fan-in level (`repartition(fanout)`) pre-ORs them in parallel and
+    the driver sees O(fanout) partials — not O(n_blocks), which at
+    100 TB (~10^5-10^6 blocks) would push tens of GB through a serial
+    driver loop (VERDICT r3 finding #3)."""
     import ray
 
     words = m_bits // 64
@@ -50,8 +53,19 @@ def bloom_build(ds, col: str, m_bits: int = 1 << 20, k: int = 5):
         return pa.table({"bmp": pa.array([bmp.tobytes()],
                                          type=pa.binary())})
 
-    parts = ds.map_batches(partial, batch_format="pyarrow",
-                           batch_size=None).take_all()
+    def or_rows(t: pa.Table) -> pa.Table:
+        acc = np.zeros(words, dtype=np.uint64)
+        for buf in t.column("bmp"):
+            acc |= np.frombuffer(buf.as_buffer(), dtype=np.uint64)
+        return pa.table({"bmp": pa.array([acc.tobytes()],
+                                         type=pa.binary())})
+
+    parts = (ds.map_batches(partial, batch_format="pyarrow",
+                            batch_size=None)
+             .repartition(fanout)
+             .map_batches(or_rows, batch_format="pyarrow",
+                          batch_size=None)
+             .take_all())
     out = np.zeros(words, dtype=np.uint64)
     for row in parts:
         out |= np.frombuffer(row["bmp"], dtype=np.uint64)

@@ -3,10 +3,11 @@
 The representative distributed ITERATIVE algorithm: each round
 broadcasts the k x dim centroid matrix (tiny), every batch assigns its
 vectors with ONE matmul and emits per-centroid partial (count,
-vec-sum) rows, and the driver combines the bounded partial stream
-(blocks x k rows) into new centroids.  The corpus itself never moves —
-per round the exchange is O(blocks * k * dim), independent of row
-count, which is exactly the shape that survives 100 TB.  Empty
+vec-sum) rows; a fan-in combine level merges the block partials so the
+driver folds only O(fanout x k) rows into new centroids.  The corpus
+itself never moves — per round the exchange is O(blocks * k * dim),
+independent of row count, which is exactly the shape that survives
+100 TB.  Empty
 clusters keep their previous centroid.  Deterministic: hash-sampled
 seeding (no RNG), fixed iteration count.
 
@@ -58,10 +59,39 @@ def seed_centroids(ds, vec_col: str, id_col: str, k: int):
     return _emb_matrix(tbl, vec_col)
 
 
+def _combine_partials(t: pa.Table) -> pa.Table:
+    """Merge (cid, n, err, vsum) partial rows by cid — the fan-in
+    combine (sums are associative, so the merge is exact)."""
+    cid = t.column("cid").to_numpy(zero_copy_only=False)
+    n = t.column("n").to_numpy(zero_copy_only=False)
+    err = t.column("err").to_numpy(zero_copy_only=False)
+    vs = _emb_matrix(t, "vsum") if len(t) else \
+        np.zeros((0, 0), dtype=np.float64)
+    order = np.argsort(cid, kind="stable")
+    uniq, starts = np.unique(cid[order], return_index=True)
+    return pa.table({
+        "cid": pa.array(uniq.astype(np.int64)),
+        "n": pa.array(np.add.reduceat(n[order], starts)
+                      if len(uniq) else np.array([], dtype=np.int64)),
+        "err": pa.array(np.add.reduceat(err[order], starts)
+                        if len(uniq) else np.array([], dtype=np.float64)),
+        "vsum": pa.array(list(np.add.reduceat(vs[order], starts, axis=0))
+                         if len(uniq) else [],
+                         type=pa.list_(pa.float64())),
+    })
+
+
 def distributed_kmeans(ds, vec_col: str, id_col: str, k: int = 8,
-                       iters: int = 5):
+                       iters: int = 5, fanout: int = 32):
     """Lloyd's over the full Dataset.  Returns (centroids: k x dim,
-    counts: k, inertia: float) after `iters` rounds."""
+    counts: k, inertia: float) after `iters` rounds.
+
+    Per round, per-block (cid, count, err, vec-sum) partials pass one
+    fan-in combine level (`repartition(fanout)` + exact cid-merge), so
+    the driver pulls O(fanout x k) rows per round — not O(blocks x k),
+    which at 100 TB is the driver-bandwidth bottleneck VERDICT r3
+    flagged (finding #3).  Sums are associative, so the fan-in is
+    bit-deterministic given the same block partials."""
     import ray
 
     centroids = seed_centroids(ds, vec_col, id_col, k)
@@ -92,8 +122,11 @@ def distributed_kmeans(ds, vec_col: str, id_col: str, k: int = 8,
                                  type=pa.list_(pa.float64())),
             })
 
-        parts = ds.map_batches(partial, batch_format="pyarrow") \
-            .take_all()
+        parts = (ds.map_batches(partial, batch_format="pyarrow")
+                 .repartition(fanout)
+                 .map_batches(_combine_partials, batch_format="pyarrow",
+                              batch_size=None)
+                 .take_all())
         counts = np.zeros(k, dtype=np.int64)
         sums = np.zeros((k, dim), dtype=np.float64)
         inertia = 0.0

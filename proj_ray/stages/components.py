@@ -54,8 +54,13 @@ def _empty_labels() -> pa.Table:
 
 def _label_sum(labels_ds) -> int:
     """Commutative uint64 checksum of the label vector (sum mod 2^64):
-    monotone non-increasing under hash-min, so equality between rounds
-    IS the fixpoint test."""
+    labels only ever decrease under hash-min, so the TRUE sum is
+    strictly decreasing until the fixpoint and equality between rounds
+    is the fixpoint test.  Caveat: the sum is taken mod 2^64, so a
+    round that decreases the true sum by an exact multiple of 2^64
+    would collide — astronomically unlikely (it needs >= 2^64/max_id
+    labels to move in one round in an exactly cancelling way); callers
+    needing belt-and-braces can additionally compare label min/count."""
     def partial(t: pa.Table) -> pa.Table:
         lab = t.column("label").to_numpy(zero_copy_only=False) \
             .astype(np.uint64)
@@ -213,6 +218,7 @@ def connected_components(pairs, col_a: str = "doc_a",
             "label": pa.array(np.concatenate([src_lab, lval])),
         })
 
+    converged = False
     for _ in range(max_iters):
         both = edges.map_batches(widen_edges, batch_format="pyarrow") \
             .union(labels.map_batches(tag_labels, batch_format="pyarrow"))
@@ -223,8 +229,19 @@ def connected_components(pairs, col_a: str = "doc_a",
         ).materialize()
         cur_sum = _label_sum(labels)
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        # diameter > max_iters: silently returning partial labels would
+        # hand callers WRONG components (ADVICE r3) — make it loud
+        import warnings
+
+        warnings.warn(
+            f"connected_components: label propagation did not converge "
+            f"within max_iters={max_iters} (graph diameter exceeds the "
+            f"round budget); returned labels may merge incompletely — "
+            f"raise max_iters", RuntimeWarning, stacklevel=2)
 
     def finish(t: pa.Table) -> pa.Table:
         return pa.table({"node": t.column("node"),

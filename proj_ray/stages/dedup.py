@@ -409,8 +409,8 @@ def minhash_lsh_pairs(docs_ds, jaccard_threshold: float = 0.8):
     Recall note (ADVICE r2): banding is derived from the threshold via
     `minhash_banding`, which places the S-curve midpoint (1/b)^(1/r)
     AT the threshold using up to 128 permutations — e.g. threshold
-    0.8 -> 11 bands of 11 rows (midpoint 0.804), threshold 0.7 ->
-    16 bands of 8 rows (midpoint 0.707).  A pair exactly at the
+    0.8 -> 10 bands of 10 rows (midpoint 0.794), threshold 0.7 ->
+    13 bands of 7 rows (midpoint 0.693).  A pair exactly at the
     threshold is caught with p ~= 0.5 and the probability rises
     steeply above it (> 95% within ~0.1), while sub-threshold
     template noise (j ~= 0.45) stays a few percent — the property

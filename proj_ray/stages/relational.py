@@ -177,6 +177,100 @@ def broadcast_join(big_ds, small_tbl: pa.Table, key: str,
     return big_ds.map_batches(join_batch, batch_format="pyarrow")
 
 
+def shuffle_semi_anti(big_ds, keys_ds, key: str,
+                      right_key: str | None = None, how: str = "semi",
+                      num_partitions: int | None = None):
+    """Key-partitioned exact semi/anti join against a DISTINCT-key
+    Dataset that is too large to broadcast.
+
+    Both streams hash-partition on the key into one __part space (the
+    same side-tag + per-partition membership-mask shape as `_set_op`),
+    so no task ever holds more than its hash slice of the key universe
+    — the scale-safe fallback behind `semi_anti_join`'s broadcast gate.
+    A Bloom filter cannot substitute for the anti case: false positives
+    would DROP rows that have no true match."""
+    import numpy as np
+
+    from proj_ray.stages.agg import crc_bucket
+    from proj_ray.stages.partitioning import derive_num_partitions
+
+    right_key = right_key or key
+    if how not in ("semi", "anti"):
+        raise ValueError(f"shuffle_semi_anti: how={how!r}")
+    nparts = num_partitions or derive_num_partitions(
+        big_ds, keys_ds, default=32)
+    big_cols = list(big_ds.schema().names)
+    key_type = dict(zip(big_ds.schema().names,
+                        big_ds.schema().types))[key]
+
+    def tag_big(t: pa.Table) -> pa.Table:
+        cols = {c: t.column(c) for c in big_cols}
+        cols["__side"] = pa.array(np.zeros(len(t), dtype=np.int8))
+        cols["__part"] = pa.array(crc_bucket(t.column(key), nparts))
+        return pa.table(cols)
+
+    def tag_keys(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        kv = pc.cast(t.column(right_key), key_type)
+        cols = {c: (kv if c == key else
+                    pa.nulls(len(t), type=dict(
+                        zip(big_ds.schema().names,
+                            big_ds.schema().types))[c]))
+                for c in big_cols}
+        cols["__side"] = pa.array(np.ones(len(t), dtype=np.int8))
+        cols["__part"] = pa.array(crc_bucket(kv, nparts))
+        return pa.table(cols)
+
+    both = big_ds.map_batches(tag_big, batch_format="pyarrow").union(
+        keys_ds.map_batches(tag_keys, batch_format="pyarrow"))
+
+    def mask_group(t: pa.Table) -> pa.Table:
+        side = t.column("__side").to_numpy(zero_copy_only=False)
+        kv = t.column(key).to_numpy(zero_copy_only=False)
+        member = np.unique(kv[side == 1])
+        is_big = side == 0
+        if len(member) == 0:
+            hit = np.zeros(len(t), dtype=bool)
+        else:
+            pos = np.minimum(np.searchsorted(member, kv),
+                             len(member) - 1)
+            hit = member[pos] == kv
+        keep = is_big & (hit if how == "semi" else ~hit)
+        return t.filter(pa.array(keep)) \
+            .drop_columns(["__side", "__part"])
+
+    return both.groupby("__part").map_groups(mask_group,
+                                             batch_format="pyarrow")
+
+
+# Above this many distinct build-side keys the membership table stops
+# being a "small side": switch from driver broadcast to the
+# key-partitioned shuffle (≈16 MB of int64 keys at the default).
+SEMI_ANTI_BROADCAST_LIMIT = 2_000_000
+
+
+def semi_anti_join(big_ds, keys_ds, key: str,
+                   right_key: str | None = None, how: str = "semi",
+                   broadcast_limit: int = SEMI_ANTI_BROADCAST_LIMIT):
+    """Exact semi/anti join with the size-gated broadcast-vs-shuffle
+    split (VERDICT r3 fix for q_idle_customers): a build side at or
+    under `broadcast_limit` distinct keys is pulled once and resolved
+    per batch through the worker cache; anything larger takes the
+    key-partitioned shuffle path.  `keys_ds` must already be distinct
+    (`agg.hash_distinct`)."""
+    import ray
+
+    keys_ds = keys_ds.materialize()
+    if keys_ds.count() <= broadcast_limit:
+        tbl = pa.concat_tables(ray.get(keys_ds.to_arrow_refs()),
+                               promote_options="default")
+        return broadcast_join(big_ds, tbl, key=key,
+                              right_key=right_key or key, how=how)
+    return shuffle_semi_anti(big_ds, keys_ds, key=key,
+                             right_key=right_key, how=how)
+
+
 def _set_op(ds_a, ds_b, col: str, keep: str):
     """Distinct set algebra over one column: tag each side, take the
     union of the two streams (no data movement — union is lazy block

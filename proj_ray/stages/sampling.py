@@ -31,12 +31,19 @@ _TWO64 = 1 << 64
 def hash_keep_mask(ids: np.ndarray, rate: float,
                    seed: int = 0) -> np.ndarray:
     """Boolean keep-mask: deterministic in (id, seed), P(keep) = rate
-    for ids uniform mod 2**64.  Comparison stays in exact uint64."""
+    for ids uniform mod 2**64.  Comparison stays in exact uint64.
+
+    Threshold note (ADVICE r3): for rate in [1 - 2**-54, 1.0) the
+    float64 product rate * 2**64 rounds UP to exactly 2**64, which
+    overflows uint64 — and the DuckDB oracle's HUGEINT threshold then
+    keeps every row.  Any rate whose float product reaches 2**64 is
+    therefore keep-all, decided in Python int space before the cast."""
     rate = min(max(rate, 0.0), 1.0)
     h = (ids.astype(np.uint64) + np.uint64(seed)) * PHI64
-    if rate >= 1.0:
+    thresh = int(rate * float(_TWO64))
+    if thresh >= _TWO64:
         return np.ones(len(h), dtype=bool)
-    return h < np.uint64(rate * float(_TWO64))
+    return h < np.uint64(thresh)
 
 
 def hash_sample(ds, rate: float, id_col: str = "doc_id", seed: int = 0):
@@ -68,9 +75,11 @@ def stratified_hash_sample(ds, rates: dict, strat_col: str,
         r = np.clip(per_uniq, 0.0, 1.0)[
             enc.indices.to_numpy(zero_copy_only=False)]
         h = (ids.astype(np.uint64) + np.uint64(seed)) * PHI64
-        full = r >= 1.0
-        thresh = (np.where(full, 0.0, r) * float(_TWO64)) \
-            .astype(np.uint64)
+        # same 2**64-rounding guard as hash_keep_mask: a float product
+        # that reaches 2**64 would silently WRAP through .astype(uint64)
+        prod = r * float(_TWO64)
+        full = (r >= 1.0) | (prod >= float(_TWO64))
+        thresh = np.where(full, 0.0, prod).astype(np.uint64)
         return t.filter(pa.array(full | (h < thresh)))
 
     return ds.map_batches(keep, batch_format="pyarrow")
