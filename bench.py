@@ -103,6 +103,19 @@ def consume(res) -> int:
     return n
 
 
+def host_yardstick() -> float:
+    """Single-core busy-loop seconds (pure Python, no Ray): the host's
+    own speed at this moment.  Reported with every bench run so a slow
+    number can be attributed to hypervisor contention vs the engine
+    without re-measurement archaeology (representative fast-period
+    value ~0.55 s; slow periods measure 2-4x that)."""
+    t0 = time.perf_counter()
+    x = 0
+    for i in range(10_000_000):
+        x += i * i
+    return round(time.perf_counter() - t0, 3)
+
+
 def run_bench() -> dict:
     import ray
 
@@ -151,6 +164,7 @@ def run_bench() -> dict:
         "bench_docs": BENCH_DOCS,
         "docs_per_sec": round(BENCH_DOCS / headline, 1),
         "tiles": n_tiles,
+        "host_yardstick_sec": host_yardstick(),
     }
 
 

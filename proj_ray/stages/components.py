@@ -106,7 +106,7 @@ def _driver_union_find(a: np.ndarray, b: np.ndarray) -> pa.Table:
 
 def connected_components(pairs, col_a: str = "doc_a",
                          col_b: str = "doc_b",
-                         num_buckets: int = 32,
+                         num_buckets: int | None = None,
                          max_iters: int = 50,
                          driver_limit: int = _DRIVER_UF_LIMIT):
     """(node, component) labeling of the undirected pair graph, where
@@ -147,6 +147,14 @@ def connected_components(pairs, col_a: str = "doc_a",
                 .astype(np.int64),
                 tbl.column(col_b).to_numpy(zero_copy_only=False)
                 .astype(np.int64)))
+
+    if num_buckets is None:
+        from proj_ray.stages.partitioning import derive_num_partitions
+
+        # pairs is a Dataset here (the DataFrame path converted above);
+        # under the driver gate it is already materialized, so the size
+        # estimate is execution-free
+        num_buckets = derive_num_partitions(pairs, default=32)
 
     def edge_batch(t: pa.Table) -> pa.Table:
         a = t.column(col_a).to_numpy(zero_copy_only=False).astype(np.int64)
@@ -251,7 +259,7 @@ def connected_components(pairs, col_a: str = "doc_a",
 
 
 def near_dup_filter(docs_ds, pairs, id_col: str = "doc_id",
-                    num_buckets: int = 32):
+                    num_buckets: int | None = None):
     """Corpus-scale near-duplicate filter: keep every document except
     non-representative members of a duplicate cluster (the kept
     representative is the smallest doc_id of each connected component
@@ -261,6 +269,10 @@ def near_dup_filter(docs_ds, pairs, id_col: str = "doc_id",
     (component != node) flow into the same hash-bucket shuffle as the
     corpus and are dropped co-partitioned — one corpus pass, no
     driver-side id set, no Acero join."""
+    if num_buckets is None:
+        from proj_ray.stages.partitioning import derive_num_partitions
+
+        num_buckets = derive_num_partitions(docs_ds, default=32)
     labels = connected_components(pairs, num_buckets=num_buckets)
 
     def victims_batch(t: pa.Table) -> pa.Table:

@@ -424,11 +424,14 @@ def minhash_lsh_pairs(docs_ds, jaccard_threshold: float = 0.8):
         batch_format="pyarrow")
     # Shuffling into (band_id, band_hash) groups directly would create
     # one tiny pandas group per LSH bucket (tens of thousands) — the
-    # per-group overhead dwarfs the work.  Instead hash buckets into a
-    # few dozen coarse partitions and emit pairs VECTORIZED per
-    # partition: sort by (band, hash), find equal-key runs, expand
-    # pairs only for runs with >= 2 docs (rare: true candidates).
-    num_parts = 32
+    # per-group overhead dwarfs the work.  Instead hash buckets into
+    # coarse partitions (size-derived: ~256 MB of input per partition,
+    # floor 32) and emit pairs VECTORIZED per partition: sort by
+    # (band, hash), find equal-key runs, expand pairs only for runs
+    # with >= 2 docs (rare: true candidates).
+    from proj_ray.stages.partitioning import derive_num_partitions
+
+    num_parts = derive_num_partitions(docs_ds, default=32)
 
     def add_bucket(t: pa.Table) -> pa.Table:
         h = t.column("band_hash").to_numpy(zero_copy_only=False) \
@@ -601,14 +604,20 @@ def ngram_jaccard_pairs(docs_ds, jaccard_threshold: float = 0.8,
             - np.repeat(off[:-1], counts)
         p = counts - np.ceil(jaccard_threshold * counts).astype(np.int64) \
             + 1
-        keep = order[rank < np.repeat(p, counts)]
+        mask = rank < np.repeat(p, counts)
+        keep = order[mask]
         return pa.table({
             "shingle": pa.array(vals[keep]),
             "doc_id": pa.array(doc[doc_idx[keep]]),
             "nsh": pa.array(counts[doc_idx[keep]]),
+            # 0-based rank of this token in the doc's global (df, val)
+            # order — the PPJoin positional filter's input
+            "rnk": pa.array(rank[mask]),
         })
 
-    num_parts = 32
+    from proj_ray.stages.partitioning import derive_num_partitions
+
+    num_parts = derive_num_partitions(sigs, default=32)
 
     def add_part(t: pa.Table) -> pa.Table:
         s = t.column("shingle").to_numpy(zero_copy_only=False) \
@@ -668,8 +677,10 @@ def ngram_jaccard_pairs(docs_ds, jaccard_threshold: float = 0.8,
             sh = t.column("shingle").to_numpy(zero_copy_only=False)
             doc = t.column("doc_id").to_numpy(zero_copy_only=False)
             nsh = t.column("nsh").to_numpy(zero_copy_only=False)
+            rnk = t.column("rnk").to_numpy(zero_copy_only=False)
             order = np.lexsort((doc, sh))
-            sh, doc, nsh = sh[order], doc[order], nsh[order]
+            sh, doc, nsh, rnk = (sh[order], doc[order], nsh[order],
+                                 rnk[order])
             n = len(doc)
             if n < 2:
                 return empty
@@ -682,14 +693,22 @@ def ngram_jaccard_pairs(docs_ds, jaccard_threshold: float = 0.8,
             out_a, out_b, out_j = [], [], []
             for ri in np.flatnonzero(lens >= 2):
                 s0, ln = starts[ri], lens[ri]
-                ids, sz = doc[s0:s0 + ln], nsh[s0:s0 + ln]
+                ids, sz, rk = (doc[s0:s0 + ln], nsh[s0:s0 + ln],
+                               rnk[s0:s0 + ln])
                 uniq, first = np.unique(ids, return_index=True)
                 if len(uniq) < 2:
                     continue
-                sz = sz[first]
+                sz, rk = sz[first], rk[first]
                 i, j = np.triu_indices(len(uniq), 1)
                 ok = np.minimum(sz[i], sz[j]) \
                     >= jaccard_threshold * np.maximum(sz[i], sz[j])
+                # PPJoin positional filter (see the sparse path): cuts
+                # the popcount-verify volume, completeness preserved by
+                # the any-shared-token OR across partitions
+                alpha = (jaccard_threshold
+                         / (1.0 + jaccard_threshold)) * (sz[i] + sz[j])
+                ok &= np.minimum(sz[i] - rk[i], sz[j] - rk[j]) \
+                    >= alpha - 1e-9
                 if not ok.any():
                     continue
                 i, j = i[ok], j[ok]
@@ -734,8 +753,10 @@ def ngram_jaccard_pairs(docs_ds, jaccard_threshold: float = 0.8,
         sh = t.column("shingle").to_numpy(zero_copy_only=False)
         doc = t.column("doc_id").to_numpy(zero_copy_only=False)
         nsh = t.column("nsh").to_numpy(zero_copy_only=False)
+        rnk = t.column("rnk").to_numpy(zero_copy_only=False)
         order = np.lexsort((doc, sh))
-        sh, doc, nsh = sh[order], doc[order], nsh[order]
+        sh, doc, nsh, rnk = (sh[order], doc[order], nsh[order],
+                             rnk[order])
         n = len(doc)
         empty = pa.table({"doc_a": pa.array([], type=pa.int64()),
                           "doc_b": pa.array([], type=pa.int64())})
@@ -750,15 +771,27 @@ def ngram_jaccard_pairs(docs_ds, jaccard_threshold: float = 0.8,
         out_b = []
         for ri in np.flatnonzero(lens >= 2):
             s0, ln = starts[ri], lens[ri]
-            ids, sz = doc[s0:s0 + ln], nsh[s0:s0 + ln]
+            ids, sz, rk = (doc[s0:s0 + ln], nsh[s0:s0 + ln],
+                           rnk[s0:s0 + ln])
             uniq, first = np.unique(ids, return_index=True)
             if len(uniq) < 2:
                 continue
-            sz = sz[first]
+            sz, rk = sz[first], rk[first]
             i, j = np.triu_indices(len(uniq), 1)
             # size-ratio filter: J >= t requires min(s)/max(s) >= t
             ok = np.minimum(sz[i], sz[j]) \
                 >= jaccard_threshold * np.maximum(sz[i], sz[j])
+            # PPJoin positional filter: tokens at global-order rank
+            # >= rk are the only ones that can still intersect, so
+            # I <= min(s - rk) — and J >= t needs
+            # I >= t/(1+t) * (s_i + s_j).  A true pair always passes
+            # for its FIRST shared prefix token (all its shared tokens
+            # rank >= that token), so keeping pairs that pass in ANY
+            # partition preserves completeness.
+            alpha = (jaccard_threshold / (1.0 + jaccard_threshold)) \
+                * (sz[i] + sz[j])
+            ok &= np.minimum(sz[i] - rk[i], sz[j] - rk[j]) \
+                >= alpha - 1e-9
             out_a.append(uniq[i[ok]])
             out_b.append(uniq[j[ok]])
         if not out_a:
@@ -873,10 +906,12 @@ def simhash_near_pairs(docs_ds, max_hamming: int = 3):
                          "sh": pa.array(np.tile(h, 4))})
 
     # (chunk, key) buckets number in the tens of thousands; shuffle into
-    # a few coarse partitions and expand pairs vectorized per equal-key
-    # run (same shape as the MinHash path — per-group pandas overhead
-    # would dominate otherwise)
-    num_parts = 32
+    # coarse size-derived partitions and expand pairs vectorized per
+    # equal-key run (same shape as the MinHash path — per-group pandas
+    # overhead would dominate otherwise)
+    from proj_ray.stages.partitioning import derive_num_partitions
+
+    num_parts = derive_num_partitions(docs_ds, default=32)
 
     def add_part(t: pa.Table) -> pa.Table:
         k = t.column("key").to_numpy(zero_copy_only=False).astype(np.uint64)
@@ -967,7 +1002,7 @@ def _hyperplanes(dim: int, n_bands: int, band_bits: int,
 
 def embedding_near_dup(emb_ds, threshold: float = 0.95,
                        concurrency: int = 0, seed: int = 5,
-                       num_parts: int = 32):
+                       num_parts: int | None = None):
     """Cosine near-duplicate pairs via hyperplane-LSH bucketing.
 
     Scale shape: vectors are EXPLODED to (band, key) bucket rows (a
@@ -984,7 +1019,10 @@ def embedding_near_dup(emb_ds, threshold: float = 0.95,
     banding stage is a stateless task pool (planes are derived
     deterministically from the seed and cached per worker)."""
     from proj_ray.stages.agg import hash_shuffle_aggregate
+    from proj_ray.stages.partitioning import derive_num_partitions
 
+    if num_parts is None:
+        num_parts = derive_num_partitions(emb_ds, default=32)
     n_bands, band_bits = auto_lsh_params(threshold)
 
     def band_rows(batch: pa.Table) -> pa.Table:

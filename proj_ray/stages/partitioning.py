@@ -36,18 +36,38 @@ def _cluster_cpus(default: int = 4) -> int:
         return default
 
 
+def _safe_size_bytes(ds) -> int | None:
+    """`Dataset.size_bytes()` EXECUTES lazy plans (measured: a bare
+    map_batches runs end-to-end when asked its size), so only ask when
+    the answer is metadata-free: a materialized dataset, or a plan
+    that is still a pure read (parquet footer sizes)."""
+    try:
+        from ray.data.dataset import MaterializedDataset
+
+        if isinstance(ds, MaterializedDataset):
+            return ds.size_bytes()
+    except Exception:
+        pass
+    try:
+        from ray.data._internal.logical.operators.read_operator import \
+            Read
+
+        if isinstance(ds._plan._logical_plan.dag, Read):
+            return ds.size_bytes()
+    except Exception:
+        pass
+    return None
+
+
 def dataset_size_bytes(*datasets) -> int | None:
-    """Total known byte size of the given Datasets, or None when Ray
-    has no estimate yet for any of them (fully lazy pipelines)."""
+    """Total known byte size of the given Datasets, or None when no
+    execution-free estimate exists for any of them."""
     total = 0
     known = False
     for ds in datasets:
         if ds is None:
             continue
-        try:
-            sz = ds.size_bytes()
-        except Exception:
-            sz = None
+        sz = _safe_size_bytes(ds)
         if sz:
             total += int(sz)
             known = True

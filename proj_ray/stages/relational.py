@@ -44,8 +44,11 @@ def interval_join(big_ds, intervals: pa.Table, on: str,
     driver into elementary non-overlapping segments with a CSR
     covering-list, so each batch does two vectorized searchsorted +
     repeat/gather passes — no per-row loop, no shuffle of the big
-    side.  Sized for a broadcast side up to ~10^4 intervals; beyond
-    that partition the big side by range instead.
+    side.  The CSR build is a boundary sweep (searchsorted +/-1
+    deltas), O(K log K + total coverage) — not the dense K x segments
+    boolean matrix ADVICE r3 flagged — so the practical bound is the
+    broadcast payload, ~10^5-10^6 intervals; beyond that partition
+    the big side by range instead.
 
     Values are compared in int64 space (timestamps are viewed as
     microseconds), so bounds are exact.
@@ -68,12 +71,26 @@ def interval_join(big_ds, intervals: pa.Table, on: str,
     # inclusive [s, e] == half-open [s, e+1) on the integer lattice
     bounds = np.unique(np.concatenate([s, e + 1]))
     n_seg = len(bounds) - 1
-    # coverage matrix (K x n_seg): interval k covers segment i iff
-    # s[k] <= bounds[i] <= e[k]
-    cov = (s[:, None] <= bounds[None, :-1]) & (bounds[None, :-1] <= e[:, None])
-    seg_counts = cov.sum(axis=0).astype(np.int64)
+    # boundary sweep: interval k covers exactly the segment index range
+    # [i0_k, i1_k) (both endpoints sit ON bounds by construction)
+    i0 = np.searchsorted(bounds, s)
+    i1 = np.searchsorted(bounds, e + 1)
+    delta = np.zeros(n_seg + 1, dtype=np.int64)
+    np.add.at(delta, i0, 1)
+    np.add.at(delta, i1, -1)
+    seg_counts = np.cumsum(delta[:-1])
     seg_offsets = np.concatenate([[0], np.cumsum(seg_counts)])
-    seg_ids = np.nonzero(cov.T)[1].astype(np.int64)  # row-major by segment
+    # CSR covering lists, grouped by segment (intervals ascending
+    # within each segment): expand each interval's segment run, then a
+    # stable bucket-by-segment — O(total coverage) memory, which IS the
+    # CSR's own size
+    reps = i1 - i0
+    total = int(reps.sum())
+    iv = np.repeat(np.arange(len(s), dtype=np.int64), reps)
+    seg = np.repeat(i0, reps) + (np.arange(total, dtype=np.int64)
+                                 - np.repeat(np.cumsum(reps) - reps,
+                                             reps))
+    seg_ids = iv[np.argsort(seg, kind="stable")]
     meta_ref = ray.put((bounds, seg_counts, seg_offsets, seg_ids,
                         intervals.select(id_cols).combine_chunks()))
 
