@@ -85,6 +85,11 @@ QUERY_NAMES = [
     "tfidf_terms",
     "weighted_sample",
     "audio_chunks",
+    "top_segment",
+    "events_rank",
+    "active_customers",
+    "tile_pyramid",
+    "doc_regex",
 ]
 
 

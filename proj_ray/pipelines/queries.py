@@ -1613,7 +1613,7 @@ def q_urgent_orders(sf_dir: str):
 
     from proj_ray.stages.agg import hash_distinct, tree_aggregate
     from proj_ray.stages.bloom import bloom_build, bloom_prune
-    from proj_ray.stages.relational import shuffle_join
+    from proj_ray.stages.relational import semi_anti_join
 
     li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
                          columns=["l_orderkey"],
@@ -1627,8 +1627,11 @@ def q_urgent_orders(sf_dir: str):
     orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
                              columns=["o_orderkey", "o_orderpriority"])
     pruned = bloom_prune(orders, "o_orderkey", bloom)
-    j = shuffle_join(pruned, keys, on="o_orderkey",
-                     right_on="l_orderkey")
+    # EXISTS is a SEMI join: the size-gated broadcast/shuffle split
+    # removes the Acero actor-pool overhead an inner Dataset.join paid
+    # here, and the shuffle fallback keeps the 100-TB shape exact
+    j = semi_anti_join(pruned, keys, key="o_orderkey",
+                       right_key="l_orderkey", how="semi")
 
     def partial(t: pa.Table) -> pa.Table:
         return pa.table({
@@ -1999,24 +2002,35 @@ def q_order_revenue(sf_dir: str):
 
     # pre-aggregate per orderkey inside each batch BEFORE the shuffle:
     # lineitem is clustered by orderkey, so the ~4 items per order
-    # collapse locally and the join moves ~4x fewer rows
-    def li_partial(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.assign(
-            revenue=df["l_extendedprice"] * (1 - df["l_discount"]))
-        return df.groupby("l_orderkey", as_index=False).agg(
-            revenue=("revenue", "sum"),
-            n_items=("revenue", "count"))
+    # collapse locally and the join moves ~4x fewer rows.  Arrow's C++
+    # hash aggregate, not pandas — measured 2-3x faster per pass
+    def li_partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
 
-    li_pre = li.map_batches(li_partial, batch_format="pandas")
+        rev = pc.multiply(t.column("l_extendedprice"),
+                          pc.subtract(pa.scalar(1.0),
+                                      t.column("l_discount")))
+        tbl = pa.table({"l_orderkey": t.column("l_orderkey"),
+                        "revenue": rev})
+        out = tbl.group_by("l_orderkey").aggregate(
+            [("revenue", "sum"), ("revenue", "count")])
+        return out.rename_columns(["l_orderkey", "revenue", "n_items"])
+
+    li_pre = li.map_batches(li_partial, batch_format="pyarrow")
     j = shuffle_join(li_pre, orders, on="l_orderkey",
                      right_on="o_orderkey")
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby("o_orderpriority", as_index=False).agg(
-            revenue=("revenue", "sum"),
-            n_items=("n_items", "sum"))
+    def partial(t: pa.Table) -> pa.Table:
+        out = pa.table({
+            "o_orderpriority": t.column("o_orderpriority"),
+            "revenue": t.column("revenue"),
+            "n_items": t.column("n_items"),
+        }).group_by("o_orderpriority").aggregate(
+            [("revenue", "sum"), ("n_items", "sum")])
+        return out.rename_columns(["o_orderpriority", "revenue",
+                                   "n_items"])
 
-    agg = tree_aggregate(j.map_batches(partial, batch_format="pandas"),
+    agg = tree_aggregate(j.map_batches(partial, batch_format="pyarrow"),
                          ["o_orderpriority"],
                          [("revenue", "sum"), ("n_items", "sum")])
     # 4 dp: per-item revenue is an exact 4-dp decimal, so the rounded
@@ -2572,6 +2586,201 @@ FROM t"""
 # ---------------------------------------------------------------------------
 
 
+def q_top_segment(sf_dir: str):
+    """Per-nation MODE (most frequent market segment): per-batch pair
+    counts are the combiner, one hash-partitioned aggregate finishes
+    the counts, and the bounded top-k combiner picks each key's argmax
+    — the classic two-level argmax that never moves the corpus."""
+    import ray.data as rd
+
+    from proj_ray.stages.frequent import grouped_mode
+
+    ds = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                         columns=["c_nationkey", "c_mktsegment"])
+    return grouped_mode(ds, key="c_nationkey", value="c_mktsegment",
+                        out_count="n")
+
+
+SQL_TOP_SEGMENT = """
+SELECT c_nationkey, c_mktsegment, n FROM (
+  SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+         row_number() OVER (PARTITION BY c_nationkey
+                            ORDER BY count(*) DESC, c_mktsegment) AS rn
+  FROM customer GROUP BY 1, 2) t
+WHERE rn = 1
+"""
+
+
+def q_events_rank(sf_dir: str):
+    """DENSE_RANK per user over the event value's 0.1-wide band
+    (floor(value*10) — exact in float64, so the oracle is
+    bit-reproducible; round() would tie-break half-even vs half-away).
+    One key-hash shuffle, lexsort + cumulative distinct counter per
+    partition."""
+    import ray.data as rd
+
+    from proj_ray.stages.windows import keyed_dense_rank
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "value"])
+
+    def band(t: pa.Table) -> pa.Table:
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_id": t.column("event_id"),
+            "user_id": t.column("user_id"),
+            "vband": pa.array(np.floor(v * 10.0).astype(np.int64)),
+        })
+
+    return keyed_dense_rank(ds.map_batches(band, batch_format="pyarrow"),
+                            key="user_id", order_col="vband",
+                            out_col="drank")
+
+
+SQL_EVENTS_RANK = """
+SELECT event_id, user_id,
+       CAST(floor(value * 10) AS BIGINT) AS vband,
+       CAST(DENSE_RANK() OVER (PARTITION BY user_id
+                               ORDER BY floor(value * 10)) AS BIGINT)
+           AS drank
+FROM events
+"""
+
+
+def q_active_customers(sf_dir: str):
+    """EXISTS as a size-gated SEMI join: distinct big-spender custkeys
+    via the hash-partitioned dedup, then `semi_anti_join` (broadcast
+    under the gate, key-partitioned shuffle above it), counted per
+    market segment."""
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    from proj_ray.stages.agg import hash_distinct, tree_aggregate
+    from proj_ray.stages.relational import semi_anti_join
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey"],
+        filter=pads.field("o_totalprice") > 450000.0)
+    keys = hash_distinct(orders, "o_custkey")
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_mktsegment"])
+    active = semi_anti_join(cust, keys, key="c_custkey",
+                            right_key="o_custkey", how="semi")
+
+    def partial(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_mktsegment": t.column("c_mktsegment"),
+            "n_active": pa.array(np.ones(len(t), dtype=np.int64)),
+        })
+
+    return tree_aggregate(active.map_batches(partial,
+                                             batch_format="pyarrow"),
+                          ["c_mktsegment"], [("n_active", "sum")])
+
+
+SQL_ACTIVE_CUSTOMERS = """
+SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_active
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_totalprice > 450000)
+GROUP BY c_mktsegment
+"""
+
+
+def q_tile_pyramid(sf_dir: str):
+    """Hierarchical tile pyramid (z10 -> z8 -> z6): ONE corpus pass
+    builds the finest zoom's counts; the coarser levels re-aggregate
+    from that tiny result by integer coordinate shifts — the whole
+    pyramid costs one extra no-op at scale, the standard map-tiling
+    rollup."""
+    from proj_ray.stages.agg import tree_aggregate
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lon = batch.column("lon").to_numpy(zero_copy_only=False)
+        lat = batch.column("lat").to_numpy(zero_copy_only=False)
+        tx, ty = tile_xy(lon, lat, 10)
+        key = ty.astype(np.int64) * 1024 + tx
+        ids, counts = np.unique(key, return_counts=True)
+        return pa.table({
+            "tx": pa.array((ids % 1024).astype(np.int64)),
+            "ty": pa.array((ids // 1024).astype(np.int64)),
+            "n": pa.array(counts.astype(np.int64))})
+
+    finest = tree_aggregate(
+        coords_dataset(sf_dir).map_batches(partial,
+                                           batch_format="pyarrow"),
+        ["tx", "ty"], [("n", "sum")])
+
+    def pyramid(df: pd.DataFrame) -> pd.DataFrame:
+        levels = []
+        for zoom in (10, 8, 6):
+            shift = 10 - zoom
+            g = df.assign(tx=df["tx"].to_numpy() >> shift,
+                          ty=df["ty"].to_numpy() >> shift) \
+                .groupby(["tx", "ty"], as_index=False)["n"].sum()
+            g.insert(0, "zoom", np.int64(zoom))
+            levels.append(g)
+        return pd.concat(levels, ignore_index=True)
+
+    return finest.map_batches(pyramid, batch_format="pandas",
+                              batch_size=None)
+
+
+def _sql_tile_pyramid() -> str:
+    txs, tys = sql_tile_exprs("lon", "lat", 10)
+    return ("WITH " + sql_coords_cte()
+            + f""", t10 AS (
+  SELECT {txs} AS tx, {tys} AS ty, CAST(count(*) AS BIGINT) AS n
+  FROM coords GROUP BY 1, 2)
+SELECT CAST(10 AS BIGINT) AS zoom, tx, ty, n FROM t10
+UNION ALL
+SELECT 8, tx >> 2, ty >> 2, CAST(sum(n) AS BIGINT)
+FROM t10 GROUP BY 2, 3
+UNION ALL
+SELECT 6, tx >> 4, ty >> 4, CAST(sum(n) AS BIGINT)
+FROM t10 GROUP BY 2, 3""")
+
+
+# RE2 syntax on both sides: Arrow's match_substring_regex and DuckDB's
+# regexp_matches agree on partial-match semantics
+_DOC_REGEX = "(sort|scan) (join|merge)"
+
+
+def q_doc_regex(sf_dir: str):
+    """Vectorized regex scan: count documents per language whose text
+    matches the pattern (Arrow C++ RE2 kernel per batch — the regex
+    compiles once per task, no Python row loop)."""
+    import ray.data as rd
+
+    from proj_ray.stages.agg import tree_aggregate
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["text", "lang"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        hit = pc.match_substring_regex(t.column("text"), _DOC_REGEX)
+        t2 = t.filter(hit)
+        return pa.table({
+            "lang": t2.column("lang"),
+            "n_match": pa.array(np.ones(len(t2), dtype=np.int64)),
+        })
+
+    return tree_aggregate(ds.map_batches(partial,
+                                         batch_format="pyarrow"),
+                          ["lang"], [("n_match", "sum")])
+
+
+SQL_DOC_REGEX = f"""
+SELECT lang, CAST(count(*) AS BIGINT) AS n_match
+FROM documents
+WHERE regexp_matches(text, '{_DOC_REGEX}')
+GROUP BY lang
+"""
+
+
 def build_queries():
     return {
         "span_coords": q_span_coords,
@@ -2641,6 +2850,11 @@ def build_queries():
         "audio_chunks": q_audio_chunks,
         "kmeans_clusters": q_kmeans_clusters,
         "lang_quality": q_lang_quality,
+        "top_segment": q_top_segment,
+        "events_rank": q_events_rank,
+        "active_customers": q_active_customers,
+        "tile_pyramid": q_tile_pyramid,
+        "doc_regex": q_doc_regex,
     }
 
 
@@ -2703,4 +2917,9 @@ def build_oracles():
         "tfidf_terms": SQL_TFIDF_TERMS,
         "weighted_sample": _sql_weighted_sample(),
         "lang_quality": _sql_lang_quality(),
+        "top_segment": SQL_TOP_SEGMENT,
+        "events_rank": SQL_EVENTS_RANK,
+        "active_customers": SQL_ACTIVE_CUSTOMERS,
+        "tile_pyramid": _sql_tile_pyramid(),
+        "doc_regex": SQL_DOC_REGEX,
     }

@@ -94,6 +94,13 @@ def distributed_kmeans(ds, vec_col: str, id_col: str, k: int = 8,
     bit-deterministic given the same block partials."""
     import ray
 
+    # iterative algorithm: the input is read iters+1 times, so pin the
+    # blocks in the object store once (spillable) instead of re-running
+    # the upstream read/transform every Lloyd round
+    ds = ds.materialize()
+    # fan-in pays a repartition barrier; it only wins when there are
+    # enough block partials to matter
+    use_fanin = ds.num_blocks() > 4 * fanout
     centroids = seed_centroids(ds, vec_col, id_col, k)
     dim = centroids.shape[1]
     inertia = float("inf")
@@ -122,11 +129,12 @@ def distributed_kmeans(ds, vec_col: str, id_col: str, k: int = 8,
                                  type=pa.list_(pa.float64())),
             })
 
-        parts = (ds.map_batches(partial, batch_format="pyarrow")
-                 .repartition(fanout)
-                 .map_batches(_combine_partials, batch_format="pyarrow",
-                              batch_size=None)
-                 .take_all())
+        parts = ds.map_batches(partial, batch_format="pyarrow")
+        if use_fanin:
+            parts = parts.repartition(fanout).map_batches(
+                _combine_partials, batch_format="pyarrow",
+                batch_size=None)
+        parts = parts.take_all()
         counts = np.zeros(k, dtype=np.int64)
         sums = np.zeros((k, dim), dtype=np.float64)
         inertia = 0.0

@@ -67,6 +67,32 @@ def exact_frequent(ds, text_col: str, min_frac: float,
     return counts.map_batches(keep, batch_format="pyarrow")
 
 
+def grouped_mode(ds, key: str, value: str, out_count: str = "n"):
+    """Per-key MODE: the most frequent `value` within each `key`
+    (count ties broken by the smallest value — deterministic and
+    SQL-reproducible with ``row_number() OVER (... ORDER BY count(*)
+    DESC, value)``).
+
+    Shape: per-batch (key, value) counts are the combiner, one
+    hash-partitioned aggregate finishes the counts exactly (pair
+    universe is unbounded), and the bounded-partial top-k combiner
+    picks each key's argmax — the shuffle moves distinct pairs, never
+    rows."""
+    from proj_ray.stages.agg import hash_shuffle_aggregate
+    from proj_ray.stages.windows import grouped_top_k
+
+    def pair_counts(t: pa.Table) -> pa.Table:
+        out = pa.table({key: t.column(key), value: t.column(value)}) \
+            .group_by([key, value]).aggregate([([], "count_all")])
+        return out.rename_columns([key, value, out_count])
+
+    counts = hash_shuffle_aggregate(
+        ds.map_batches(pair_counts, batch_format="pyarrow"),
+        [key, value], [(out_count, "sum")])
+    return grouped_top_k(counts, key=key, score=out_count, k=1,
+                         descending=True, tiebreak=value)
+
+
 def tfidf_terms(ds, id_col: str, text_col: str, min_tf: int = 3,
                 pattern: str = " "):
     """Per-document TF-IDF term scores: tfidf = tf * ln(N / df).

@@ -261,6 +261,109 @@ def shuffle_semi_anti(big_ds, keys_ds, key: str,
                                              batch_format="pyarrow")
 
 
+def copartition_join(left_ds, right_ds, on: str,
+                     right_on: str | None = None, how: str = "inner",
+                     num_partitions: int | None = None):
+    """Hash-co-partitioned equi-join resolved with searchsorted inside
+    one map_groups per partition — the task-pool alternative to
+    `shuffle_join`'s Acero path (which pins one aggregator ACTOR per
+    partition: measured ~3 s of pool spin-up at sandbox scale, and a
+    scheduling coupling at any scale).  Semantics: `how` in
+    {"inner", "left"}; duplicate right keys fan out (full join
+    multiplicity); output carries the left columns + right payload
+    (right key column dropped).  Right payload names must not collide
+    with left columns."""
+    import numpy as np
+
+    from proj_ray.stages.agg import crc_bucket
+    from proj_ray.stages.partitioning import derive_num_partitions
+
+    right_on = right_on or on
+    if how not in ("inner", "left"):
+        raise ValueError(f"copartition_join: how={how!r}")
+    nparts = num_partitions or derive_num_partitions(
+        left_ds, right_ds, default=32)
+    lsch, rsch = left_ds.schema(), right_ds.schema()
+    left_cols = list(lsch.names)
+    right_payload = [c for c in rsch.names if c != right_on]
+    clash = set(left_cols) & set(right_payload)
+    if clash:
+        raise ValueError(f"copartition_join: colliding columns "
+                         f"{sorted(clash)}; rename first")
+    all_cols = left_cols + right_payload
+    union_types = dict(zip(lsch.names, lsch.types))
+    union_types.update((c, t) for c, t in zip(rsch.names, rsch.types)
+                       if c != right_on)
+
+    def widen(side: int, key_col: str):
+        def fn(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            n = len(t)
+            cols = {}
+            for c in all_cols:
+                if side == 0 and c in t.column_names:
+                    cols[c] = t.column(c)
+                elif side == 1 and c in right_payload \
+                        and c in t.column_names:
+                    cols[c] = t.column(c)
+                elif side == 1 and c == on:
+                    cols[c] = pc.cast(t.column(right_on),
+                                      union_types[on])
+                else:
+                    cols[c] = pa.nulls(n, type=union_types[c])
+            cols["__side"] = pa.array(np.full(n, side, dtype=np.int8))
+            cols["__part"] = pa.array(
+                crc_bucket(t.column(key_col), nparts))
+            return pa.table(cols)
+
+        return fn
+
+    both = left_ds.map_batches(widen(0, on),
+                               batch_format="pyarrow").union(
+        right_ds.map_batches(widen(1, right_on), batch_format="pyarrow"))
+
+    def join_group(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        side = t.column("__side").to_numpy(zero_copy_only=False)
+        keys = t.column(on).to_numpy(zero_copy_only=False)
+        is_l = side == 0
+        lpos = np.flatnonzero(is_l)
+        rpos = np.flatnonzero(~is_l)
+        rk = keys[rpos]
+        rorder = np.argsort(rk, kind="stable")
+        rk = rk[rorder]
+        lk = keys[lpos]
+        lo = np.searchsorted(rk, lk, side="left")
+        hi = np.searchsorted(rk, lk, side="right")
+        cnt = hi - lo
+        if how == "left":
+            out_cnt = np.maximum(cnt, 1)
+        else:
+            out_cnt = cnt
+        tot = int(out_cnt.sum())
+        lidx = np.repeat(lpos, out_cnt)
+        run0 = np.repeat(np.cumsum(out_cnt) - out_cnt, out_cnt)
+        rank = np.arange(tot, dtype=np.int64) - run0
+        matched = rank < np.repeat(cnt, out_cnt)
+        rtake = np.repeat(lo, out_cnt) + np.where(matched, rank, 0)
+        ridx = rpos[rorder[np.minimum(rtake, max(len(rk) - 1, 0))]] \
+            if len(rk) else np.zeros(tot, dtype=np.int64)
+        cols = {}
+        ltake = pa.array(lidx)
+        for c in left_cols:
+            cols[c] = pc.take(t.column(c), ltake)
+        rtake_arr = pa.array(np.where(matched, ridx, 0).astype(np.int64),
+                             type=pa.int64(), mask=~matched)
+        for c in right_payload:
+            cols[c] = pc.take(t.column(c), rtake_arr)
+        return pa.table(cols)
+
+    return both.groupby("__part").map_groups(join_group,
+                                             batch_format="pyarrow")
+
+
 # Above this many distinct build-side keys the membership table stops
 # being a "small side": switch from driver broadcast to the
 # key-partitioned shuffle (≈16 MB of int64 keys at the default).

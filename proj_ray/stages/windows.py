@@ -216,6 +216,49 @@ def keyed_lag(ds, key: str, time: str, value_cols: list[str],
         .groupby("__part").map_groups(resolve, batch_format="pyarrow")
 
 
+def keyed_dense_rank(ds, key: str, order_col: str,
+                     out_col: str = "drank",
+                     num_partitions: int = 32):
+    """SQL ``DENSE_RANK() OVER (PARTITION BY key ORDER BY order_col)``:
+    rows with equal order values share a rank and ranks are gapless.
+    One hash-partition shuffle co-locates each key; every partition
+    resolves with one lexsort + a cumulative new-value counter — no
+    per-key loop, no global sort."""
+    def add_part(t: pa.Table) -> pa.Table:
+        k = t.column(key).to_numpy(zero_copy_only=False)
+        return t.append_column("__part",
+                               pa.array(_part(k, num_partitions)))
+
+    def resolve(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["__part"])
+        n = len(t)
+        if n == 0:
+            return t.append_column(out_col,
+                                   pa.array([], type=pa.int64()))
+        k = t.column(key).to_numpy(zero_copy_only=False)
+        v = t.column(order_col).to_numpy(zero_copy_only=False)
+        vv = v.view(np.int64) if v.dtype.kind == "M" else v
+        order = np.lexsort((vv, k))
+        ks, vs = k[order], vv[order]
+        new_key = np.empty(n, dtype=bool)
+        new_key[0] = True
+        new_key[1:] = ks[1:] != ks[:-1]
+        new_val = np.empty(n, dtype=bool)
+        new_val[0] = True
+        new_val[1:] = new_key[1:] | (vs[1:] != vs[:-1])
+        # dense rank = count of distinct values seen within the key
+        bump = np.cumsum(new_val.astype(np.int64))
+        key_base = np.maximum.accumulate(
+            np.where(new_key, bump - 1, 0))
+        rank_sorted = bump - key_base
+        inv = np.empty(n, dtype=np.int64)
+        inv[order] = np.arange(n)
+        return t.append_column(out_col, pa.array(rank_sorted[inv]))
+
+    return ds.map_batches(add_part, batch_format="pyarrow") \
+        .groupby("__part").map_groups(resolve, batch_format="pyarrow")
+
+
 def keyed_cumsum(ds, key: str, time: str, value_cols: list[str],
                  num_partitions: int = 32, tiebreak: str | None = None):
     """Running totals: SQL's ``SUM(c) OVER (PARTITION BY key ORDER BY

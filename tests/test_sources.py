@@ -54,3 +54,47 @@ def test_lance_gate():
             read_table("/tmp/nope", table_format="lance")
     with pytest.raises(ValueError):
         read_table("/tmp/nope", table_format="orc")
+
+
+def test_pluggable_filesystem_and_format(ray_session, tmp_path):
+    """The PROJ_FILE_API analogue: a registered scheme resolves to a
+    filesystem factory and a registered format routes reads/writes."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from proj_ray.sources.io import (read_table, register_filesystem,
+                                     register_table_format,
+                                     resolve_path, write_table)
+
+    # scheme -> SubTreeFileSystem rooted at tmp_path
+    def factory():
+        from pyarrow import fs
+
+        return fs.SubTreeFileSystem(str(tmp_path), fs.LocalFileSystem())
+
+    register_filesystem("vault", factory)
+    fsys, p = resolve_path("vault://inner/table")
+    assert fsys is not None and p == "inner/table"
+    # unregistered schemes pass through for pyarrow's own handling
+    assert resolve_path("s3://bucket/x") == (None, "s3://bucket/x")
+
+    tbl = pa.table({"a": [1, 2, 3], "b": ["x", "y", "z"]})
+    write_table(rd.from_arrow(tbl), "vault://t1")
+    back = read_table("vault://t1", columns=["a"]).to_pandas()
+    assert sorted(back["a"]) == [1, 2, 3] and list(back.columns) == ["a"]
+
+    # a custom format: plain pyarrow parquet file reader/writer
+    def reader(path, columns=None, filesystem=None, **kw):
+        return rd.from_arrow(pq.read_table(path, columns=columns))
+
+    def writer(ds, path, partition_cols=None, filesystem=None, **kw):
+        pq.write_table(pa.concat_tables(
+            b for b in ds.iter_batches(batch_format="pyarrow")), path)
+
+    register_table_format("pqfile", reader, writer)
+    write_table(rd.from_arrow(tbl), str(tmp_path / "one.pq"),
+                table_format="pqfile")
+    got = read_table(str(tmp_path / "one.pq"),
+                     table_format="pqfile").to_pandas()
+    assert len(got) == 3
