@@ -90,6 +90,8 @@ QUERY_NAMES = [
     "active_customers",
     "tile_pyramid",
     "doc_regex",
+    "media_manifest",
+    "cust_order_profile",
 ]
 
 

@@ -2781,6 +2781,110 @@ GROUP BY lang
 """
 
 
+def q_media_manifest(sf_dir: str):
+    """Media-asset dedup manifest over the interleaved spans: one row
+    per DISTINCT media_ref with its reference count and first owning
+    doc — the asset-level dedup a multimodal corpus needs before
+    fetching/decoding anything.  media_ref cardinality scales with the
+    corpus, so the reduction is the hash-partitioned aggregate, never
+    a single combine task."""
+    from proj_ray.stages.agg import hash_shuffle_aggregate
+
+    docs = doc_dataset_from_documents(sf_dir)
+
+    def explode_media(t: pa.Table) -> pa.Table:
+        spans = t.column("spans")
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        off_arr = spans.offsets.to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        counts = np.diff(off_arr - off_arr[0])
+        flat = spans.flatten()
+        doc_rep = t.column("doc_id").take(
+            pa.array(np.repeat(np.arange(len(t), dtype=np.int64),
+                               counts)))
+        keep = pc.equal(flat.field("kind"), "media")
+        out = pa.table({
+            "doc_id": doc_rep,
+            "media_ref": flat.field("media_ref"),
+        }).filter(keep)
+        out = _doc_id_to_int(out)
+        return pa.table({
+            "media_ref": out.column("media_ref"),
+            "n_refs": pa.array(np.ones(len(out), dtype=np.int64)),
+            "first_doc": out.column("doc_id"),
+        })
+
+    exploded = docs.map_batches(explode_media, batch_format="pyarrow")
+    return hash_shuffle_aggregate(
+        exploded, ["media_ref"],
+        [("n_refs", "sum"), ("first_doc", "min")])
+
+
+def _sql_media_manifest() -> str:
+    return ("WITH " + sql_coords_cte() + """
+SELECT 'media://' || lpad(CAST(s2 AS VARCHAR), 10, '0') AS media_ref,
+       CAST(count(*) AS BIGINT) AS n_refs,
+       CAST(min(doc_id) AS BIGINT) AS first_doc
+FROM r2 WHERE s1 % 5 >= 4
+GROUP BY 1""")
+
+
+def q_cust_order_profile(sf_dir: str):
+    """Per-customer order profile via the co-partitioned LEFT join:
+    orders pre-aggregate per custkey inside each batch (Arrow C++ hash
+    agg), finish exactly in the hash-partitioned aggregate, then the
+    searchsorted co-partition join attaches the profile to every
+    customer — customers with no orders keep zeros (LEFT semantics).
+    Both sides are corpus-scale: no broadcast, no driver pull, no
+    Acero actor pool."""
+    import ray.data as rd
+
+    from proj_ray.stages.agg import hash_shuffle_aggregate
+    from proj_ray.stages.relational import copartition_join
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_totalprice"])
+
+    def pre(t: pa.Table) -> pa.Table:
+        out = pa.table({
+            "o_custkey": t.column("o_custkey"),
+            "spend": t.column("o_totalprice"),
+        }).group_by("o_custkey").aggregate(
+            [("spend", "sum"), ("spend", "count")])
+        return out.rename_columns(["o_custkey", "spend", "n_orders"])
+
+    prof = hash_shuffle_aggregate(
+        orders.map_batches(pre, batch_format="pyarrow"),
+        ["o_custkey"], [("spend", "sum"), ("n_orders", "sum")])
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_nationkey"])
+    j = copartition_join(cust, prof, on="c_custkey",
+                         right_on="o_custkey", how="left")
+
+    def fin(t: pa.Table) -> pa.Table:
+        spend = pc.fill_null(t.column("spend"), 0.0) \
+            .to_numpy(zero_copy_only=False)
+        return pa.table({
+            "c_custkey": t.column("c_custkey"),
+            "c_nationkey": t.column("c_nationkey"),
+            "n_orders": pc.fill_null(t.column("n_orders"), 0),
+            "spend": pa.array(np.round(spend, 2)),
+        })
+
+    return j.map_batches(fin, batch_format="pyarrow")
+
+
+SQL_CUST_ORDER_PROFILE = """
+SELECT c.c_custkey, c.c_nationkey,
+       CAST(coalesce(count(o.o_custkey), 0) AS BIGINT) AS n_orders,
+       round(coalesce(sum(o.o_totalprice), 0.0), 2) AS spend
+FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+GROUP BY 1, 2
+"""
+
+
 def build_queries():
     return {
         "span_coords": q_span_coords,
@@ -2855,6 +2959,8 @@ def build_queries():
         "active_customers": q_active_customers,
         "tile_pyramid": q_tile_pyramid,
         "doc_regex": q_doc_regex,
+        "media_manifest": q_media_manifest,
+        "cust_order_profile": q_cust_order_profile,
     }
 
 
@@ -2922,4 +3028,6 @@ def build_oracles():
         "active_customers": SQL_ACTIVE_CUSTOMERS,
         "tile_pyramid": _sql_tile_pyramid(),
         "doc_regex": SQL_DOC_REGEX,
+        "media_manifest": _sql_media_manifest(),
+        "cust_order_profile": SQL_CUST_ORDER_PROFILE,
     }
