@@ -572,6 +572,7 @@ def ngram_jaccard_pairs(docs_ds, jaccard_threshold: float = 0.8,
                          "df": pa.array(np.ones(len(vals),
                                                 dtype=np.int64))})
 
+    n_docs = sigs.count()
     freq_ds = hash_shuffle_aggregate(
         sigs.map_batches(explode_shingles, batch_format="pyarrow"),
         ["shingle"], [("df", "sum")], num_buckets=32)
@@ -585,7 +586,6 @@ def ngram_jaccard_pairs(docs_ds, jaccard_threshold: float = 0.8,
 
     vocab = len(fvals)
     words = (vocab + 63) >> 6
-    n_docs = sigs.count()
     dense = (vocab <= _DENSE_VOCAB_MAX
              and n_docs * words * 8 <= _DENSE_SIG_BYTES)
 
@@ -690,7 +690,7 @@ def ngram_jaccard_pairs(docs_ds, jaccard_threshold: float = 0.8,
             new_run[1:] = sh[1:] != sh[:-1]
             starts = np.flatnonzero(new_run)
             lens = np.diff(np.append(starts, n))
-            out_a, out_b, out_j = [], [], []
+            out_a, out_b = [], []
             for ri in np.flatnonzero(lens >= 2):
                 s0, ln = starts[ri], lens[ri]
                 ids, sz, rk = (doc[s0:s0 + ln], nsh[s0:s0 + ln],
@@ -709,31 +709,30 @@ def ngram_jaccard_pairs(docs_ds, jaccard_threshold: float = 0.8,
                          / (1.0 + jaccard_threshold)) * (sz[i] + sz[j])
                 ok &= np.minimum(sz[i] - rk[i], sz[j] - rk[j]) \
                     >= alpha - 1e-9
-                if not ok.any():
-                    continue
-                i, j = i[ok], j[ok]
-                rows = np.searchsorted(all_ids, uniq)
-                inter = popcount64(
-                    all_mat[rows[i]] & all_mat[rows[j]]).reshape(
-                        len(i), words).sum(axis=1)
-                union = sz[i] + sz[j] - inter
-                jac = inter / union
-                keep = jac >= jaccard_threshold
-                if keep.any():
-                    out_a.append(uniq[i[keep]])
-                    out_b.append(uniq[j[keep]])
-                    out_j.append(jac[keep])
+                if ok.any():
+                    out_a.append(uniq[i[ok]])
+                    out_b.append(uniq[j[ok]])
             if not out_a:
                 return empty
-            a = np.concatenate(out_a)
-            b = np.concatenate(out_b)
-            jc = np.concatenate(out_j)
-            # dedupe pairs found via several shingles in this partition
-            key = np.stack([a, b], axis=1)
-            _, first = np.unique(key, axis=0, return_index=True)
-            return pa.table({"doc_a": pa.array(a[first]),
-                             "doc_b": pa.array(b[first]),
-                             "jaccard": pa.array(jc[first])})
+            # a dense-vocab pair is typically generated by MANY shared
+            # prefix shingles in the same partition — dedupe the
+            # candidate ids FIRST so each pair pays the AND+popcount
+            # verify exactly once
+            cand = np.unique(np.stack([np.concatenate(out_a),
+                                       np.concatenate(out_b)], axis=1),
+                             axis=0)
+            ra = np.searchsorted(all_ids, cand[:, 0])
+            rb = np.searchsorted(all_ids, cand[:, 1])
+            inter = popcount64(all_mat[ra] & all_mat[rb]) \
+                .reshape(len(cand), words).sum(axis=1)
+            union = all_sz[ra] + all_sz[rb] - inter
+            jac = inter / union
+            keep = jac >= jaccard_threshold
+            if not keep.any():
+                return empty
+            return pa.table({"doc_a": pa.array(cand[keep, 0]),
+                             "doc_b": pa.array(cand[keep, 1]),
+                             "jaccard": pa.array(jac[keep])})
 
         verified = prefix.groupby("__part").map_groups(
             part_pairs_dense, batch_format="pyarrow")
