@@ -92,6 +92,7 @@ QUERY_NAMES = [
     "doc_regex",
     "media_manifest",
     "cust_order_profile",
+    "lineitem_cube",
 ]
 
 

@@ -1596,6 +1596,70 @@ GROUP BY ROLLUP(l_returnflag, l_linestatus)
 """
 
 
+def q_lineitem_cube(sf_dir: str):
+    """GROUP BY CUBE(l_returnflag, l_linestatus): all four grouping
+    sets.  Like the ROLLUP twin, one corpus pass builds the finest
+    aggregate and every other grouping set re-aggregates from that
+    tiny result (sums/counts are re-aggregable) — the cube costs
+    nothing extra at scale.  'ALL' sentinel marks rolled-up levels."""
+    import ray.data as rd
+
+    from proj_ray.stages.agg import tree_aggregate
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        out = pa.table({
+            "l_returnflag": t.column("l_returnflag"),
+            "l_linestatus": t.column("l_linestatus"),
+            "sum_qty": t.column("l_quantity"),
+        }).group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("sum_qty", "sum"), ("sum_qty", "count")])
+        return out.rename_columns(["l_returnflag", "l_linestatus",
+                                   "sum_qty", "n"])
+
+    finest = tree_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["l_returnflag", "l_linestatus"],
+        [("sum_qty", "sum"), ("n", "sum")])
+
+    def cube(df: pd.DataFrame) -> pd.DataFrame:
+        vals = ["sum_qty", "n"]
+        sets = [df.copy()]
+        g1 = df.groupby("l_returnflag", as_index=False)[vals].sum()
+        g1["l_linestatus"] = "ALL"
+        sets.append(g1)
+        g2 = df.groupby("l_linestatus", as_index=False)[vals].sum()
+        g2["l_returnflag"] = "ALL"
+        sets.append(g2)
+        g0 = df[vals].sum().to_frame().T
+        g0["l_returnflag"] = "ALL"
+        g0["l_linestatus"] = "ALL"
+        sets.append(g0)
+        out = pd.concat(sets, ignore_index=True)
+        return pd.DataFrame({
+            "l_returnflag": out["l_returnflag"],
+            "l_linestatus": out["l_linestatus"],
+            "sum_qty": np.round(out["sum_qty"], 4),
+            "n": out["n"].astype("int64"),
+        })
+
+    return finest.map_batches(cube, batch_format="pandas",
+                              batch_size=None)
+
+
+SQL_LINEITEM_CUBE = """
+SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+       coalesce(l_linestatus, 'ALL') AS l_linestatus,
+       round(SUM(l_quantity), 4) AS sum_qty,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem
+GROUP BY CUBE(l_returnflag, l_linestatus)
+"""
+
+
 def q_urgent_orders(sf_dir: str):
     """Exact big-big semi-join with Bloom pruning: orders that contain
     a high-quantity lineitem (> 45), counted per priority.  The
@@ -2961,6 +3025,7 @@ def build_queries():
         "doc_regex": q_doc_regex,
         "media_manifest": q_media_manifest,
         "cust_order_profile": q_cust_order_profile,
+        "lineitem_cube": q_lineitem_cube,
     }
 
 
@@ -3030,4 +3095,5 @@ def build_oracles():
         "doc_regex": SQL_DOC_REGEX,
         "media_manifest": _sql_media_manifest(),
         "cust_order_profile": SQL_CUST_ORDER_PROFILE,
+        "lineitem_cube": SQL_LINEITEM_CUBE,
     }

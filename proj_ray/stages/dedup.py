@@ -54,6 +54,19 @@ _PERM_A, _PERM_B = (np.concatenate(p) for p in zip(
                                                  seed=100)))
 
 
+def _dedupe_pairs(a: np.ndarray, b: np.ndarray):
+    """Distinct (a, b) rows via lexsort + run-start mask — several
+    times faster than np.unique(axis=0)'s void-view sort on
+    two-column int data.  Returns sorted-by-(a, b) arrays."""
+    order = np.lexsort((b, a))
+    a, b = a[order], b[order]
+    first = np.empty(len(a), dtype=bool)
+    if len(a):
+        first[0] = True
+        first[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+    return a[first], b[first]
+
+
 def _join_partitions(cap: int = 16) -> int:
     """Hash-join partition count sized to the cluster: each partition
     pins an aggregator actor, so more partitions than cores deadlocks
@@ -472,10 +485,9 @@ def minhash_lsh_pairs(docs_ds, jaccard_threshold: float = 0.8):
         a = np.concatenate(out_a)
         b = np.concatenate(out_b)
         # drop duplicate pairs within this partition before the shuffle
-        key = np.stack([a, b], axis=1)
-        uniq = np.unique(key, axis=0)
-        return pa.table({"doc_a": pa.array(uniq[:, 0]),
-                         "doc_b": pa.array(uniq[:, 1])})
+        a, b = _dedupe_pairs(a, b)
+        return pa.table({"doc_a": pa.array(a),
+                         "doc_b": pa.array(b)})
 
     pairs = (bands.map_batches(add_bucket, batch_format="pyarrow")
              .groupby("__part")
@@ -718,20 +730,19 @@ def ngram_jaccard_pairs(docs_ds, jaccard_threshold: float = 0.8,
             # prefix shingles in the same partition — dedupe the
             # candidate ids FIRST so each pair pays the AND+popcount
             # verify exactly once
-            cand = np.unique(np.stack([np.concatenate(out_a),
-                                       np.concatenate(out_b)], axis=1),
-                             axis=0)
-            ra = np.searchsorted(all_ids, cand[:, 0])
-            rb = np.searchsorted(all_ids, cand[:, 1])
+            ca, cb = _dedupe_pairs(np.concatenate(out_a),
+                                   np.concatenate(out_b))
+            ra = np.searchsorted(all_ids, ca)
+            rb = np.searchsorted(all_ids, cb)
             inter = popcount64(all_mat[ra] & all_mat[rb]) \
-                .reshape(len(cand), words).sum(axis=1)
+                .reshape(len(ca), words).sum(axis=1)
             union = all_sz[ra] + all_sz[rb] - inter
             jac = inter / union
             keep = jac >= jaccard_threshold
             if not keep.any():
                 return empty
-            return pa.table({"doc_a": pa.array(cand[keep, 0]),
-                             "doc_b": pa.array(cand[keep, 1]),
+            return pa.table({"doc_a": pa.array(ca[keep]),
+                             "doc_b": pa.array(cb[keep]),
                              "jaccard": pa.array(jac[keep])})
 
         verified = prefix.groupby("__part").map_groups(
@@ -797,9 +808,9 @@ def ngram_jaccard_pairs(docs_ds, jaccard_threshold: float = 0.8,
             return empty
         a = np.concatenate(out_a)
         b = np.concatenate(out_b)
-        uniq = np.unique(np.stack([a, b], axis=1), axis=0)
-        return pa.table({"doc_a": pa.array(uniq[:, 0]),
-                         "doc_b": pa.array(uniq[:, 1])})
+        a, b = _dedupe_pairs(a, b)
+        return pa.table({"doc_a": pa.array(a),
+                         "doc_b": pa.array(b)})
 
     pairs = prefix.groupby("__part").map_groups(part_pairs,
                                                 batch_format="pyarrow")
