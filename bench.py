@@ -34,6 +34,8 @@ QUERY_NAMES = [
     "span_coords",
     "webmerc_project",
     "utm_project",
+    "wkt_project",
+    "projjson_project",
     "cell_histogram",
     "tile_histogram",
     "rect_join",

@@ -318,6 +318,114 @@ SELECT doc_id, off AS offset,
 FROM c10""")
 
 
+# A self-contained ISO 19162 WKT2 definition of UTM 32N: the
+# wkt_project query resolves its operation through proj_ray.crs
+# (WKT -> CRS model -> proj string -> registry op) instead of a proj
+# string, sharing utm_project's exact Poder/Engsager SQL oracle — so
+# the whole text-format path is oracle-verified end to end.
+WKT2_UTM32N = """
+PROJCRS["WGS 84 / UTM zone 32N",
+  BASEGEOGCRS["WGS 84",
+    DATUM["World Geodetic System 1984",
+      ELLIPSOID["WGS 84",6378137,298.257223563,LENGTHUNIT["metre",1]]]],
+  CONVERSION["UTM zone 32N",
+    METHOD["Transverse Mercator",ID["EPSG",9807]],
+    PARAMETER["Latitude of natural origin",0,
+      ANGLEUNIT["degree",0.0174532925199433]],
+    PARAMETER["Longitude of natural origin",9,
+      ANGLEUNIT["degree",0.0174532925199433]],
+    PARAMETER["Scale factor at natural origin",0.9996,
+      SCALEUNIT["unity",1]],
+    PARAMETER["False easting",500000,LENGTHUNIT["metre",1]],
+    PARAMETER["False northing",0,LENGTHUNIT["metre",1]]],
+  CS[Cartesian,2],
+    AXIS["(E)",east,ORDER[1]],AXIS["(N)",north,ORDER[2]],
+    LENGTHUNIT["metre",1],
+  ID["EPSG",32632]]
+"""
+
+# The same CRS lineage in the published PROJJSON schema shape, for the
+# projjson_project query (shares webmerc_project's SQL oracle).
+PROJJSON_WEBMERC = {
+    "type": "ProjectedCRS",
+    "name": "WGS 84 / Pseudo-Mercator",
+    "base_crs": {
+        "type": "GeographicCRS",
+        "name": "WGS 84",
+        "datum": {
+            "type": "GeodeticReferenceFrame",
+            "name": "World Geodetic System 1984",
+            "ellipsoid": {"name": "WGS 84", "semi_major_axis": 6378137,
+                          "inverse_flattening": 298.257223563}},
+    },
+    "conversion": {
+        "name": "Popular Visualisation Pseudo-Mercator",
+        "method": {"name": "Popular Visualisation Pseudo Mercator",
+                   "id": {"authority": "EPSG", "code": 1024}},
+        "parameters": [
+            {"name": "Latitude of natural origin", "value": 0,
+             "unit": "degree"},
+            {"name": "Longitude of natural origin", "value": 0,
+             "unit": "degree"},
+            {"name": "False easting", "value": 0, "unit": "metre"},
+            {"name": "False northing", "value": 0, "unit": "metre"}],
+    },
+    "coordinate_system": {
+        "subtype": "Cartesian",
+        "axis": [{"name": "Easting", "abbreviation": "X",
+                  "direction": "east", "unit": "metre"},
+                 {"name": "Northing", "abbreviation": "Y",
+                  "direction": "north", "unit": "metre"}]},
+    "id": {"authority": "EPSG", "code": 3857},
+}
+
+
+def q_wkt_project(sf_dir: str):
+    """UTM 32N resolved from WKT2 text (proj_ray/crs.py) — the
+    reference's io.cpp WKT-import path re-expressed; numerically
+    identical to utm_project so it shares that exact SQL oracle."""
+    from proj_ray.crs import CRS
+
+    p = CRS.from_wkt(WKT2_UTM32N).to_operation()
+
+    def project(batch: pa.Table) -> pa.Table:
+        lon = batch.column("lon").to_numpy(zero_copy_only=False)
+        lat = batch.column("lat").to_numpy(zero_copy_only=False)
+        c = transform_arrays(p, lon, lat)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "offset": batch.column("offset"),
+            "x": pa.array(np.round(c.x, 3)),
+            "y": pa.array(np.round(c.y, 3)),
+            "ok": pa.array(c.err == 0),
+        })
+
+    return coords_dataset(sf_dir).map_batches(project,
+                                              batch_format="pyarrow")
+
+
+def q_projjson_project(sf_dir: str):
+    """Web-Mercator resolved from a PROJJSON document — the JSON twin
+    of wkt_project; shares webmerc_project's SQL oracle."""
+    from proj_ray.crs import CRS
+
+    p = CRS.from_projjson(PROJJSON_WEBMERC).to_operation()
+
+    def project(batch: pa.Table) -> pa.Table:
+        c = transform_arrays(
+            p, batch.column("lon").to_numpy(zero_copy_only=False),
+            batch.column("lat").to_numpy(zero_copy_only=False))
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "offset": batch.column("offset"),
+            "x": pa.array(np.round(c.x, 3)),
+            "y": pa.array(np.round(c.y, 3)),
+        })
+
+    return coords_dataset(sf_dir).map_batches(project,
+                                              batch_format="pyarrow")
+
+
 def q_cell_assign(sf_dir: str):
     def assign(batch: pa.Table) -> pa.Table:
         cell = grid_cell(batch.column("lon").to_numpy(zero_copy_only=False),
@@ -2957,6 +3065,8 @@ def build_queries():
         "merc_ell_project": q_merc_ell,
         "lcc_project": q_lcc,
         "utm_project": q_utm_zone32,
+        "wkt_project": q_wkt_project,
+        "projjson_project": q_projjson_project,
         "cell_assign": q_cell_assign,
         "tile_assign": q_tile_assign,
         "tile_histogram": q_tile_histogram,
@@ -3048,6 +3158,8 @@ def build_oracles():
         "pip_polygons": _sql_pip_polygons(),
         "pip_polygons_shuffle": _sql_pip_polygons(),
         "utm_project": _sql_utm_zone32(),
+        "wkt_project": _sql_utm_zone32(),
+        "projjson_project": SQL_WEBMERC,
         "text_stats": SQL_TEXT_STATS,
         "exact_dedup": SQL_EXACT_DEDUP,
         "ann_topk": SQL_ANN_TOPK,
