@@ -36,6 +36,10 @@ QUERY_NAMES = [
     "utm_project",
     "wkt_project",
     "projjson_project",
+    "poly_area",
+    "poly_area_sphere",
+    "doc_track_length",
+    "track_simplify",
     "cell_histogram",
     "tile_histogram",
     "rect_join",

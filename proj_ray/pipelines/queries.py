@@ -1043,6 +1043,154 @@ def q_pip_polygons_shuffle(sf_dir: str):
     return shuffle_pip_join(ds, make_polygons(64), salt=salt)
 
 
+def _polygon_vertices_dataset():
+    """The deterministic polygon corpus (FIXTURES F4) exploded to one
+    row per vertex — the sharded layout a geometry corpus has at
+    scale."""
+    import ray.data as rd
+
+    from proj_ray.spatial.pip import make_polygons
+
+    polys = make_polygons(64)
+    pid, seq, vx, vy = [], [], [], []
+    for name, ring in zip(polys["polygon_id"], polys["rings"]):
+        pid.extend([name] * len(ring))
+        seq.extend(range(len(ring)))
+        vx.extend(ring[:, 0])
+        vy.extend(ring[:, 1])
+    t = pa.table({"polygon_id": pid,
+                  "seq": pa.array(seq, type=pa.int64()),
+                  "x": pa.array(np.asarray(vx)),
+                  "y": pa.array(np.asarray(vy))})
+    return rd.from_arrow(t).repartition(8)
+
+
+def q_poly_area(sf_dir: str):
+    """Planar shoelace area + centroid per polygon over the vertex
+    stream (spatial/geometry.py polygon_area_centroid): hash-partition
+    on polygon id, one lexsort + vectorized multi-ring shoelace per
+    partition.  Oracle: the same Gauss formula in SQL over the
+    LCG-rebuilt vertex CTE."""
+    from proj_ray.spatial.geometry import polygon_area_centroid
+
+    out = polygon_area_centroid(_polygon_vertices_dataset(),
+                                key="polygon_id", seq="seq",
+                                x_col="x", y_col="y")
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "polygon_id": t.column("polygon_id"),
+            "area": pa.array(np.round(
+                t.column("area").to_numpy(zero_copy_only=False), 6)),
+            "cx": pa.array(np.round(
+                t.column("cx").to_numpy(zero_copy_only=False), 6)),
+            "cy": pa.array(np.round(
+                t.column("cy").to_numpy(zero_copy_only=False), 6)),
+            "n_vertices": t.column("n_vertices"),
+        })
+
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
+def _sql_poly_area() -> str:
+    return ("WITH " + _sql_polygon_verts_cte().lstrip().rstrip() + """
+SELECT printf('poly-%06d', p) AS polygon_id,
+       round(sum(xi * yj - xj * yi) / 2, 6) AS area,
+       round(sum((xi + xj) * (xi * yj - xj * yi))
+             / (3 * sum(xi * yj - xj * yi)), 6) AS cx,
+       round(sum((yi + yj) * (xi * yj - xj * yi))
+             / (3 * sum(xi * yj - xj * yi)), 6) AS cy,
+       CAST(count(*) AS BIGINT) AS n_vertices
+FROM edges GROUP BY p""")
+
+
+def q_poly_area_sphere(sf_dir: str):
+    """Spherical-excess polygon area (m^2, authalic WGS84 sphere) over
+    the same vertex stream — the published Chamberlain-Duquette line
+    integral; rows-only (the trig tower has no stable SQL twin; the
+    formula is pytest-pinned against analytic areas in
+    tests/test_geometry.py)."""
+    from proj_ray.spatial.geometry import spherical_polygon_area
+
+    ds = _polygon_vertices_dataset()
+    return spherical_polygon_area(ds, key="polygon_id", seq="seq",
+                                  lon_col="x", lat_col="y")
+
+
+def q_doc_track_length(sf_dir: str):
+    """Per-document haversine track length over the extracted coord
+    spans in offset order: keyed LAG attaches each vertex's
+    predecessor (one hash shuffle), haversine runs vectorized per
+    batch, and a bounded-key aggregate folds per-doc sums.  SQL twin:
+    LAG window + the same haversine expression."""
+    from proj_ray.stages.agg import hash_shuffle_aggregate
+    from proj_ray.stages.windows import keyed_lag
+
+    ds = coords_dataset(sf_dir)
+    lagged = keyed_lag(ds, key="doc_id", time="offset",
+                       value_cols=["lon", "lat"])
+
+    def seg(t: pa.Table) -> pa.Table:
+        lon = t.column("lon").to_numpy(zero_copy_only=False)
+        lat = t.column("lat").to_numpy(zero_copy_only=False)
+        plon = t.column("lon_lag").to_numpy(zero_copy_only=False)
+        plat = t.column("lat_lag").to_numpy(zero_copy_only=False)
+        valid = ~(pd.isna(plon) | pd.isna(plat))
+        d = np.zeros(len(t))
+        if valid.any():
+            d[valid] = haversine_m(plon[valid], plat[valid],
+                                   lon[valid], lat[valid])
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "seg_m": pa.array(d),
+            "n_seg": pa.array(valid.astype(np.int64)),
+        })
+
+    agg = hash_shuffle_aggregate(
+        lagged.map_batches(seg, batch_format="pyarrow"),
+        ["doc_id"], [("seg_m", "sum"), ("n_seg", "sum")])
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "track_m": pa.array(np.round(
+                t.column("seg_m").to_numpy(zero_copy_only=False), 3)),
+            "n_seg": t.column("n_seg"),
+        })
+
+    return agg.map_batches(fin, batch_format="pyarrow")
+
+
+def _sql_doc_track_length() -> str:
+    hav = sql_haversine_expr("plon", "plat", "lon", "lat")
+    return ("WITH " + sql_coords_cte() + f""",
+lagged AS (
+    SELECT doc_id, lon, lat,
+           LAG(lon) OVER (PARTITION BY doc_id ORDER BY off) AS plon,
+           LAG(lat) OVER (PARTITION BY doc_id ORDER BY off) AS plat
+    FROM coords
+)
+SELECT doc_id,
+       round(coalesce(sum(CASE WHEN plon IS NULL THEN NULL
+                                ELSE {hav} END), 0.0), 3) AS track_m,
+       CAST(count(plon) AS BIGINT) AS n_seg
+FROM lagged GROUP BY doc_id""")
+
+
+def q_track_simplify(sf_dir: str):
+    """Douglas-Peucker simplification of each document's coord track at
+    0.5-degree tolerance (spatial/geometry.py simplify_tracks) —
+    returns the kept vertices.  Rows-only: DP's recursive max-distance
+    split has no SQL expression; the mask is property-tested against a
+    brute recursive reference in tests/test_geometry.py."""
+    from proj_ray.spatial.geometry import simplify_tracks
+
+    ds = coords_dataset(sf_dir).select_columns(
+        ["doc_id", "offset", "lon", "lat"])
+    return simplify_tracks(ds, key="doc_id", seq="offset",
+                           x_col="lon", y_col="lat", tol=0.5)
+
+
 def q_zonal_stats(sf_dir: str):
     """Zonal statistics: per-polygon point and distinct-document
     counts over the PIP join stream — one pass: per-batch (polygon,
@@ -1086,13 +1234,14 @@ def _sql_zonal_stats() -> str:
             "FROM pip GROUP BY polygon_id")
 
 
-def _sql_pip_polygons() -> str:
-    """Crossing-number PIP in SQL over the deterministic convex
-    polygons (spatial/pip.py make_polygons, FIXTURES.md F4): rebuild
-    the LCG vertex streams, form the edge ring, count strict crossings
-    per (point, polygon), keep odd parity."""
+def _sql_polygon_verts_cte() -> str:
+    """CTE chain rebuilding the deterministic convex polygons
+    (spatial/pip.py make_polygons, FIXTURES.md F4) as vertex + edge
+    tables: ``verts(p, nv, k, vx, vy)`` and
+    ``edges(p, xi, yi, xj, yj)``.  Shared by the PIP and polygon-area
+    oracles."""
     M31 = 2147483647
-    return ("WITH " + sql_coords_cte() + f""",
+    return f"""
 ps AS (
     SELECT p,
            (48271 * ((1235 + 17 * p) % {M31})) % {M31} AS s1
@@ -1128,7 +1277,16 @@ edges AS (
     SELECT a.p, a.vx AS xi, a.vy AS yi, b.vx AS xj, b.vy AS yj
     FROM verts a JOIN verts b
       ON a.p = b.p AND b.k = (a.k + 1) % a.nv
-),
+)"""
+
+
+def _sql_pip_polygons() -> str:
+    """Crossing-number PIP in SQL over the deterministic convex
+    polygons (spatial/pip.py make_polygons, FIXTURES.md F4): rebuild
+    the LCG vertex streams, form the edge ring, count strict crossings
+    per (point, polygon), keep odd parity."""
+    return ("WITH " + sql_coords_cte() + ","
+            + _sql_polygon_verts_cte() + """,
 hits AS (
     SELECT c.doc_id, c.off, e.p,
            SUM(CASE WHEN ((e.yi > c.lat) != (e.yj > c.lat))
@@ -3067,6 +3225,10 @@ def build_queries():
         "utm_project": q_utm_zone32,
         "wkt_project": q_wkt_project,
         "projjson_project": q_projjson_project,
+        "poly_area": q_poly_area,
+        "poly_area_sphere": q_poly_area_sphere,
+        "doc_track_length": q_doc_track_length,
+        "track_simplify": q_track_simplify,
         "cell_assign": q_cell_assign,
         "tile_assign": q_tile_assign,
         "tile_histogram": q_tile_histogram,
@@ -3160,6 +3322,8 @@ def build_oracles():
         "utm_project": _sql_utm_zone32(),
         "wkt_project": _sql_utm_zone32(),
         "projjson_project": SQL_WEBMERC,
+        "poly_area": _sql_poly_area(),
+        "doc_track_length": _sql_doc_track_length(),
         "text_stats": SQL_TEXT_STATS,
         "exact_dedup": SQL_EXACT_DEDUP,
         "ann_topk": SQL_ANN_TOPK,

@@ -1,0 +1,185 @@
+"""Distributed geometry measures (spatial/geometry.py)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from proj_ray.spatial.geometry import (
+    R_AUTHALIC_WGS84,
+    douglas_peucker_mask,
+    shoelace_area_centroid,
+    spherical_ring_area,
+)
+
+
+def test_shoelace_unit_square():
+    # CCW unit square: area +1, centroid (0.5, 0.5)
+    x = np.array([0.0, 1.0, 1.0, 0.0])
+    y = np.array([0.0, 0.0, 1.0, 1.0])
+    area, cx, cy = shoelace_area_centroid(
+        x, y, np.array([0]), np.array([4]))
+    assert area[0] == pytest.approx(1.0)
+    assert cx[0] == pytest.approx(0.5)
+    assert cy[0] == pytest.approx(0.5)
+    # clockwise -> negative
+    area2, _, _ = shoelace_area_centroid(
+        x[::-1].copy(), y[::-1].copy(), np.array([0]), np.array([4]))
+    assert area2[0] == pytest.approx(-1.0)
+
+
+def test_shoelace_multi_ring_packed():
+    # two rings back-to-back in one array: unit square + 2x1 triangle
+    x = np.array([0.0, 1.0, 1.0, 0.0, 10.0, 12.0, 10.0])
+    y = np.array([0.0, 0.0, 1.0, 1.0, 0.0, 0.0, 1.0])
+    area, cx, cy = shoelace_area_centroid(
+        x, y, np.array([0, 4]), np.array([4, 3]))
+    np.testing.assert_allclose(area, [1.0, 1.0])
+    np.testing.assert_allclose(cx, [0.5, 32.0 / 3.0])
+    np.testing.assert_allclose(cy, [0.5, 1.0 / 3.0])
+
+
+def test_spherical_area_parallel_wedge_exact():
+    """Rectangle bounded by parallels/meridians: lon in [0,90],
+    lat in [0,30].  Exact area = R^2 * dlon * (sin 30 - sin 0); the
+    C-D trapezoid is EXACT along parallels (sin(lat) constant)."""
+    lon = np.array([0.0, 90.0, 90.0, 0.0])
+    lat = np.array([0.0, 0.0, 30.0, 30.0])
+    a = spherical_ring_area(lon, lat, np.array([0]), np.array([4]),
+                            radius=1.0)
+    assert a[0] == pytest.approx((np.pi / 2) * 0.5, rel=1e-12)
+    # clockwise -> negative
+    a2 = spherical_ring_area(lon[::-1].copy(), lat[::-1].copy(),
+                             np.array([0]), np.array([4]), radius=1.0)
+    assert a2[0] == pytest.approx(-(np.pi / 2) * 0.5, rel=1e-12)
+
+
+def test_spherical_area_small_square_matches_planar():
+    """A 0.1-degree square at lat 45: area ~ cos(45) * planar."""
+    d = 0.1
+    lat0 = 45.0
+    lon = np.array([0.0, d, d, 0.0])
+    lat = np.array([lat0, lat0, lat0 + d, lat0 + d])
+    a = spherical_ring_area(lon, lat, np.array([0]), np.array([4]),
+                            radius=R_AUTHALIC_WGS84)
+    rad = np.radians(d)
+    expect = (R_AUTHALIC_WGS84 ** 2) * rad * (
+        np.sin(np.radians(lat0 + d)) - np.sin(np.radians(lat0)))
+    assert a[0] == pytest.approx(expect, rel=1e-12)
+
+
+def test_spherical_area_antimeridian_wrap():
+    """A wedge straddling the antimeridian (lon 170 -> -170) must
+    integrate the short way round."""
+    lon = np.array([170.0, -170.0, -170.0, 170.0])
+    lat = np.array([0.0, 0.0, 10.0, 10.0])
+    a = spherical_ring_area(lon, lat, np.array([0]), np.array([4]),
+                            radius=1.0)
+    expect = np.radians(20.0) * np.sin(np.radians(10.0))
+    assert a[0] == pytest.approx(expect, rel=1e-12)
+
+
+def _dp_brute(x, y, tol):
+    """Textbook recursive Douglas-Peucker, independent of the
+    stack implementation."""
+    n = len(x)
+    keep = np.zeros(n, dtype=bool)
+    keep[0] = keep[-1] = True
+
+    def rec(i, j):
+        if j - i < 2:
+            return
+        dx, dy = x[j] - x[i], y[j] - y[i]
+        seg2 = dx * dx + dy * dy
+        best, bd = -1, tol * tol
+        for k in range(i + 1, j):
+            px, py = x[k] - x[i], y[k] - y[i]
+            if seg2 == 0:
+                d2 = px * px + py * py
+            else:
+                c = px * dy - py * dx
+                d2 = c * c / seg2
+            if d2 > bd:
+                best, bd = k, d2
+        if best >= 0:
+            keep[best] = True
+            rec(i, best)
+            rec(best, j)
+
+    rec(0, n - 1)
+    return keep
+
+
+def test_douglas_peucker_matches_brute_on_random_tracks():
+    rng = np.random.default_rng(7)
+    for trial in range(25):
+        n = int(rng.integers(2, 60))
+        x = np.cumsum(rng.normal(size=n))
+        y = np.cumsum(rng.normal(size=n))
+        for tol in (0.1, 0.5, 2.0):
+            got = douglas_peucker_mask(x, y, tol)
+            want = _dp_brute(x, y, tol)
+            np.testing.assert_array_equal(got, want,
+                                          err_msg=f"trial={trial} "
+                                                  f"tol={tol}")
+
+
+def test_douglas_peucker_colinear_collapses():
+    x = np.linspace(0, 10, 50)
+    y = np.zeros(50)
+    keep = douglas_peucker_mask(x, y, 1e-9)
+    assert keep[0] and keep[-1] and keep.sum() == 2
+
+
+def test_polygon_area_centroid_dataset(ray_session):
+    import ray.data as rd
+
+    from proj_ray.spatial.geometry import (polygon_area_centroid,
+                                           simplify_tracks)
+
+    # 200 random CCW triangles sharded across blocks, shuffled row
+    # order so the seq sort matters
+    rng = np.random.default_rng(3)
+    pid, seq, xs, ys, want = [], [], [], [], {}
+    for p in range(200):
+        cx, cy = rng.uniform(-50, 50, 2)
+        r = rng.uniform(0.5, 3.0)
+        ang = np.sort(rng.uniform(0, 2 * np.pi, 3))
+        x = cx + r * np.cos(ang)
+        y = cy + r * np.sin(ang)
+        area = 0.5 * abs(
+            (x[1] - x[0]) * (y[2] - y[0]) - (x[2] - x[0]) * (y[1] - y[0]))
+        want[p] = area
+        for k in range(3):
+            pid.append(p)
+            seq.append(k)
+            xs.append(x[k])
+            ys.append(y[k])
+    order = rng.permutation(len(pid))
+    t = pa.table({"polygon_id": np.array(pid)[order],
+                  "seq": np.array(seq, dtype=np.int64)[order],
+                  "x": np.array(xs)[order], "y": np.array(ys)[order]})
+    out = polygon_area_centroid(rd.from_arrow(t).repartition(7),
+                                key="polygon_id").take_all()
+    assert len(out) == 200
+    for row in out:
+        assert abs(row["area"]) == pytest.approx(
+            want[row["polygon_id"]], rel=1e-9)
+        assert row["area"] > 0  # sorted-angle rings are CCW
+        assert row["n_vertices"] == 3
+
+    # simplify_tracks end-to-end: a zigzag that collapses at high tol
+    n = 40
+    track = pa.table({
+        "doc_id": np.ones(n, dtype=np.int64),
+        "offset": np.arange(n, dtype=np.int64),
+        "lon": np.linspace(0, 10, n),
+        "lat": (np.arange(n) % 2) * 0.01,
+    })
+    kept = simplify_tracks(rd.from_arrow(track).repartition(3),
+                           key="doc_id", seq="offset", x_col="lon",
+                           y_col="lat", tol=1.0).take_all()
+    assert len(kept) == 2  # endpoints only
+    kept_lo = simplify_tracks(rd.from_arrow(track), key="doc_id",
+                              seq="offset", x_col="lon", y_col="lat",
+                              tol=1e-6).take_all()
+    assert len(kept_lo) == n
