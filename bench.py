@@ -47,6 +47,7 @@ QUERY_NAMES = [
     "cart_helmert",
     "pip_polygons",
     "text_stats",
+    "doc_repetition",
     "exact_dedup",
     "ann_topk",
     "events_window",
@@ -70,6 +71,9 @@ QUERY_NAMES = [
     "tile_regions",
     "events_sliding",
     "events_lag",
+    "events_lead",
+    "events_prank",
+    "user_customer_full",
     "events_running",
     "zonal_stats",
     "orders_top100",

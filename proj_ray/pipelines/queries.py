@@ -838,6 +838,50 @@ def q_geodesic_pairs(sf_dir: str):
 # --------------------------- documents / text -----------------------------
 
 
+def q_doc_repetition(sf_dir: str):
+    """Gopher-style repetition quality signals per document
+    (stages/text.py repetition_stats_batch): duplicate-token fraction
+    and most-frequent-2-gram fraction, vectorized per batch — a
+    pre-dedup quality filter for training corpora."""
+    import ray.data as rd
+
+    from proj_ray.stages.text import repetition_stats_batch
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return ds.map_batches(repetition_stats_batch,
+                          batch_format="pyarrow")
+
+
+SQL_DOC_REPETITION = """
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS l FROM documents
+),
+flat AS (SELECT doc_id, unnest(l) AS tok FROM toks),
+base AS (
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+           CAST(count(DISTINCT tok) AS BIGINT) AS n_distinct
+    FROM flat GROUP BY doc_id
+),
+grams AS (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(l)),
+                                 i -> l[i] || ' ' || l[i + 1])) AS g
+    FROM toks WHERE len(l) >= 2
+),
+gcount AS (SELECT doc_id, g, count(*) AS c FROM grams
+           GROUP BY doc_id, g),
+gtop AS (SELECT doc_id, max(c) AS top_c FROM gcount GROUP BY doc_id)
+SELECT b.doc_id, b.n_tok, b.n_distinct,
+       round(1.0 - b.n_distinct * 1.0 / b.n_tok, 9) AS dup_token_frac,
+       CAST(coalesce(t.top_c, 0) AS BIGINT) AS top2gram_count,
+       round(CASE WHEN b.n_tok > 1
+                  THEN coalesce(t.top_c, 0) * 1.0 / (b.n_tok - 1)
+                  ELSE 0.0 END, 9) AS top2gram_frac
+FROM base b LEFT JOIN gtop t USING (doc_id)
+"""
+
+
 def q_text_stats(sf_dir: str):
     import ray.data as rd
 
@@ -1672,6 +1716,127 @@ SELECT event_id, user_id,
                       / 1000000.0, 6), -1.0) AS gap_s
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+def q_events_lead(sf_dir: str):
+    """LEAD: per event, the same user's NEXT value and event type —
+    the forward twin of events_lag (stages/windows.py keyed_lead).
+    Sentinels -1/'' stand in for each user's last event."""
+    import ray.data as rd
+
+    from proj_ray.stages.windows import keyed_lead
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts", "value",
+                                  "event_type"])
+    led = keyed_lead(ds, key="user_id", time="ts",
+                     value_cols=["value", "event_type"],
+                     tiebreak="event_id")
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        last = df["value_lead"].isna()
+        return pd.DataFrame({
+            "event_id": df["event_id"],
+            "user_id": df["user_id"],
+            "next_value": np.where(last, -1.0,
+                                   np.round(df["value_lead"], 6)),
+            "next_type": df["event_type_lead"].fillna("").to_numpy(),
+        })
+
+    return led.map_batches(fin, batch_format="pandas")
+
+
+SQL_EVENTS_LEAD = """
+SELECT event_id, user_id,
+       coalesce(round(lead(value) OVER w, 6), -1.0) AS next_value,
+       coalesce(lead(event_type) OVER w, '') AS next_type
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+def q_events_prank(sf_dir: str):
+    """PERCENT_RANK of each event's value within its user
+    (stages/windows.py keyed_percent_rank): (rank-1)/(n-1) with ties
+    sharing the first position — the normalized-rank primitive for
+    per-group score calibration."""
+    import ray.data as rd
+
+    from proj_ray.stages.windows import keyed_percent_rank
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "value"])
+    out = keyed_percent_rank(ds, key="user_id", order_col="value")
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": t.column("event_id"),
+            "user_id": t.column("user_id"),
+            "prank": pa.array(np.round(
+                t.column("prank").to_numpy(zero_copy_only=False), 9)),
+        })
+
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
+SQL_EVENTS_PRANK = """
+SELECT event_id, user_id,
+       round(percent_rank() OVER (PARTITION BY user_id ORDER BY value),
+             9) AS prank
+FROM events
+"""
+
+
+def q_user_customer_full(sf_dir: str):
+    """FULL OUTER join: per-user event counts against the customer
+    dimension on user_id = custkey (copartition_join how='full') —
+    customers with no events appear with zero counts, users outside
+    the customer table keep a null segment.  Both sides corpus-scale:
+    co-partitioned, no broadcast."""
+    import ray.data as rd
+
+    from proj_ray.stages.agg import hash_shuffle_aggregate
+    from proj_ray.stages.relational import copartition_join
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id"])
+
+    def pre(t: pa.Table) -> pa.Table:
+        out = pa.table({"user_id": t.column("user_id"),
+                        "n_events": pa.array(
+                            np.ones(len(t), dtype=np.int64))})
+        out = out.group_by("user_id").aggregate([("n_events", "sum")])
+        return out.rename_columns(["user_id", "n_events"])
+
+    per_user = hash_shuffle_aggregate(
+        ev.map_batches(pre, batch_format="pyarrow"),
+        ["user_id"], [("n_events", "sum")])
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_mktsegment"])
+    j = copartition_join(per_user, cust, on="user_id",
+                         right_on="c_custkey", how="full")
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "uid": t.column("user_id"),
+            "n_events": pc.fill_null(t.column("n_events"), 0),
+            "segment": pc.fill_null(t.column("c_mktsegment"), ""),
+        })
+
+    return j.map_batches(fin, batch_format="pyarrow")
+
+
+SQL_USER_CUSTOMER_FULL = """
+WITH per_user AS (
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+    FROM events GROUP BY user_id
+)
+SELECT coalesce(u.user_id, c.c_custkey) AS uid,
+       CAST(coalesce(u.n_events, 0) AS BIGINT) AS n_events,
+       coalesce(c.c_mktsegment, '') AS segment
+FROM per_user u FULL OUTER JOIN customer c ON c.c_custkey = u.user_id
 """
 
 
@@ -3240,6 +3405,7 @@ def build_queries():
         "vgridshift_synth": q_vgridshift_synth,
         "geodesic_pairs": q_geodesic_pairs,
         "text_stats": q_text_stats,
+        "doc_repetition": q_doc_repetition,
         "exact_dedup": q_exact_dedup,
         "ann_topk": q_ann_topk,
         "events_window": q_events_window,
@@ -3264,6 +3430,9 @@ def build_queries():
         "tile_regions": q_tile_regions,
         "events_sliding": q_events_sliding,
         "events_lag": q_events_lag,
+        "events_lead": q_events_lead,
+        "events_prank": q_events_prank,
+        "user_customer_full": q_user_customer_full,
         "events_running": q_events_running,
         "zonal_stats": q_zonal_stats,
         "orders_top100": q_orders_top100,
@@ -3325,6 +3494,7 @@ def build_oracles():
         "poly_area": _sql_poly_area(),
         "doc_track_length": _sql_doc_track_length(),
         "text_stats": SQL_TEXT_STATS,
+        "doc_repetition": SQL_DOC_REPETITION,
         "exact_dedup": SQL_EXACT_DEDUP,
         "ann_topk": SQL_ANN_TOPK,
         "events_window": SQL_EVENTS_WINDOW,
@@ -3344,6 +3514,9 @@ def build_oracles():
         "tile_regions": _sql_tile_regions(),
         "events_sliding": SQL_EVENTS_SLIDING,
         "events_lag": SQL_EVENTS_LAG,
+        "events_lead": SQL_EVENTS_LEAD,
+        "events_prank": SQL_EVENTS_PRANK,
+        "user_customer_full": SQL_USER_CUSTOMER_FULL,
         "events_running": SQL_EVENTS_RUNNING,
         "zonal_stats": _sql_zonal_stats(),
         "orders_top100": SQL_ORDERS_TOP100,

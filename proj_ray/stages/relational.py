@@ -269,9 +269,11 @@ def copartition_join(left_ds, right_ds, on: str,
     `shuffle_join`'s Acero path (which pins one aggregator ACTOR per
     partition: measured ~3 s of pool spin-up at sandbox scale, and a
     scheduling coupling at any scale).  Semantics: `how` in
-    {"inner", "left"}; duplicate right keys fan out (full join
-    multiplicity); output carries the left columns + right payload
-    (right key column dropped).  Right payload names must not collide
+    {"inner", "left", "full"}; duplicate right keys fan out (full join
+    multiplicity); "full" additionally emits right rows with no left
+    match (left columns null, the key carried through); output carries
+    the left columns + right payload (right key column dropped).
+    Right payload names must not collide
     with left columns."""
     import numpy as np
 
@@ -279,7 +281,7 @@ def copartition_join(left_ds, right_ds, on: str,
     from proj_ray.stages.partitioning import derive_num_partitions
 
     right_on = right_on or on
-    if how not in ("inner", "left"):
+    if how not in ("inner", "left", "full"):
         raise ValueError(f"copartition_join: how={how!r}")
     nparts = num_partitions or derive_num_partitions(
         left_ds, right_ds, default=32)
@@ -338,7 +340,7 @@ def copartition_join(left_ds, right_ds, on: str,
         lo = np.searchsorted(rk, lk, side="left")
         hi = np.searchsorted(rk, lk, side="right")
         cnt = hi - lo
-        if how == "left":
+        if how in ("left", "full"):
             out_cnt = np.maximum(cnt, 1)
         else:
             out_cnt = cnt
@@ -358,7 +360,21 @@ def copartition_join(left_ds, right_ds, on: str,
                              type=pa.int64(), mask=~matched)
         for c in right_payload:
             cols[c] = pc.take(t.column(c), rtake_arr)
-        return pa.table(cols)
+        out = pa.table(cols)
+        if how == "full":
+            # append right rows no left key matched: their widened
+            # rows already carry the key in `on` and nulls in the
+            # other left columns, so a plain take suffices
+            used = np.zeros(len(rk), dtype=bool)
+            if len(rk) and tot:
+                used[rtake[matched]] = True
+            un = rpos[rorder[~used]]
+            if len(un):
+                extra = pa.table(
+                    {c: pc.take(t.column(c), pa.array(un))
+                     for c in left_cols + right_payload})
+                out = pa.concat_tables([out, extra])
+        return out
 
     return both.groupby("__part").map_groups(join_group,
                                              batch_format="pyarrow")

@@ -129,3 +129,78 @@ def lang_id_batch(batch: pd.DataFrame) -> pd.DataFrame:
     best = np.where(mat.max(axis=0) == 0, "unknown", best)
     batch["lang_pred"] = best
     return batch
+
+
+def repetition_stats_batch(batch: pa.Table) -> pa.Table:
+    """Gopher-style repetition quality signals (Rae et al. 2021,
+    "Scaling Language Models", table A1 — published heuristics),
+    adapted to whitespace-token documents:
+
+      dup_token_frac  = 1 - distinct_tokens / n_tokens
+      top2gram_count  = occurrences of the most frequent token 2-gram
+      top2gram_frac   = top2gram_count / (n_tokens - 1)
+
+    Fully vectorized: one Arrow split_pattern per batch, token hashes
+    from the NumPy rolling-hash kernel over the flattened token
+    column, then lexsort + run-length math for per-doc distinct and
+    per-(doc, 2-gram) counts — no per-row Python."""
+    import pyarrow.compute as pc
+
+    from proj_ray.stages.hashing import rolling_hash_batch
+
+    text = pc.fill_null(batch.column("text"), "")
+    toks = pc.split_pattern(text, " ").combine_chunks()
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = toks.flatten()
+    off = toks.offsets.to_numpy(zero_copy_only=False)
+    counts = np.diff(off)
+    n_docs = len(batch)
+    doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
+    h = rolling_hash_batch(flat)
+
+    # distinct tokens per doc: sort (doc, hash), count run starts
+    n_distinct = np.zeros(n_docs, dtype=np.int64)
+    if len(h):
+        order = np.lexsort((h, doc_idx))
+        ds_, hs = doc_idx[order], h[order]
+        new = np.empty(len(h), dtype=bool)
+        new[0] = True
+        new[1:] = (ds_[1:] != ds_[:-1]) | (hs[1:] != hs[:-1])
+        np.add.at(n_distinct, ds_[new], 1)
+
+    # 2-grams: adjacent token pairs within a doc
+    top2 = np.zeros(n_docs, dtype=np.int64)
+    if len(h) > 1:
+        same = doc_idx[1:] == doc_idx[:-1]
+        gd = doc_idx[:-1][same]
+        PHI = np.uint64(0x9E3779B97F4A7C15)
+        gh = (h[:-1][same] * PHI) ^ h[1:][same]
+        if len(gh):
+            order = np.lexsort((gh, gd))
+            gds, ghs = gd[order], gh[order]
+            new = np.empty(len(gh), dtype=bool)
+            new[0] = True
+            new[1:] = (gds[1:] != gds[:-1]) | (ghs[1:] != ghs[:-1])
+            run_starts = np.flatnonzero(new)
+            run_len = np.diff(np.append(run_starts, len(gh)))
+            run_doc = gds[run_starts]
+            doc_new = np.empty(len(run_doc), dtype=bool)
+            doc_new[0] = True
+            doc_new[1:] = run_doc[1:] != run_doc[:-1]
+            doc_first = np.flatnonzero(doc_new)
+            top2[run_doc[doc_first]] = np.maximum.reduceat(run_len,
+                                                           doc_first)
+
+    n_tok = counts.astype(np.int64)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        dup_frac = np.where(n_tok > 0, 1.0 - n_distinct / n_tok, 0.0)
+        top2_frac = np.where(n_tok > 1, top2 / (n_tok - 1), 0.0)
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "n_tok": pa.array(n_tok),
+        "n_distinct": pa.array(n_distinct),
+        "dup_token_frac": pa.array(np.round(dup_frac, 9)),
+        "top2gram_count": pa.array(top2),
+        "top2gram_frac": pa.array(np.round(top2_frac, 9)),
+    })

@@ -414,3 +414,97 @@ def keyed_string_agg(ds, key: str, time: str, value_col: str,
 
     return ds.map_batches(add_part, batch_format="pyarrow") \
         .groupby("__part").map_groups(resolve, batch_format="pyarrow")
+
+
+def keyed_lead(ds, key: str, time: str, value_cols: list[str],
+               num_partitions: int = 32, tiebreak: str | None = None):
+    """Row-level window function: attach the NEXT row's `value_cols`
+    within the key in time order (`{c}_lead` columns, null on each
+    key's last row) — SQL's ``LEAD(c) OVER (PARTITION BY key ORDER BY
+    time)``.  Mirror image of keyed_lag: one hash-partition shuffle,
+    one lexsort per partition, shifted gathers."""
+    def add_part(t: pa.Table) -> pa.Table:
+        k = t.column(key).to_numpy(zero_copy_only=False)
+        return t.append_column("__part",
+                               pa.array(_part(k, num_partitions)))
+
+    def resolve(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = t.drop_columns(["__part"])
+        k = t.column(key).to_numpy(zero_copy_only=False)
+        tm = t.column(time).to_numpy(zero_copy_only=False)
+        tv = tm.view(np.int64) if tm.dtype.kind == "M" else tm
+        n = len(t)
+        if n == 0:
+            for c in value_cols:
+                t = t.append_column(f"{c}_lead", t.column(c))
+            return t
+        if tiebreak is not None:
+            tb = t.column(tiebreak).to_numpy(zero_copy_only=False)
+            order = np.lexsort((tb, tv, k))
+        else:
+            order = np.lexsort((tv, k))
+        ks = k[order]
+        last = np.empty(n, dtype=bool)
+        last[-1] = True
+        last[:-1] = ks[1:] != ks[:-1]
+        nxt = np.concatenate([order[1:], [0]])
+        inv = np.empty(n, dtype=np.int64)
+        inv[order] = np.arange(n)
+        nxt_orig = nxt[inv]
+        last_orig = last[inv]
+        idx = pa.array(nxt_orig, type=pa.int64(), mask=last_orig)
+        for c in value_cols:
+            t = t.append_column(f"{c}_lead", pc.take(t.column(c), idx))
+        return t
+
+    return ds.map_batches(add_part, batch_format="pyarrow") \
+        .groupby("__part").map_groups(resolve, batch_format="pyarrow")
+
+
+def keyed_percent_rank(ds, key: str, order_col: str,
+                       out_col: str = "prank",
+                       num_partitions: int = 32):
+    """SQL ``PERCENT_RANK() OVER (PARTITION BY key ORDER BY
+    order_col)`` = (rank - 1) / (key_count - 1), rank with ties
+    sharing the first position.  Single-row keys get 0 (SQL's
+    convention).  Same shuffle shape as keyed_dense_rank."""
+    def add_part(t: pa.Table) -> pa.Table:
+        k = t.column(key).to_numpy(zero_copy_only=False)
+        return t.append_column("__part",
+                               pa.array(_part(k, num_partitions)))
+
+    def resolve(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["__part"])
+        n = len(t)
+        if n == 0:
+            return t.append_column(out_col,
+                                   pa.array([], type=pa.float64()))
+        k = t.column(key).to_numpy(zero_copy_only=False)
+        v = t.column(order_col).to_numpy(zero_copy_only=False)
+        vv = v.view(np.int64) if v.dtype.kind == "M" else v
+        order = np.lexsort((vv, k))
+        ks, vs = k[order], vv[order]
+        new_key = np.empty(n, dtype=bool)
+        new_key[0] = True
+        new_key[1:] = ks[1:] != ks[:-1]
+        pos = np.arange(n, dtype=np.int64)
+        key_start = np.maximum.accumulate(np.where(new_key, pos, 0))
+        # rank = first index of the tie run within the key, 1-based
+        new_val = new_key.copy()
+        new_val[1:] |= vs[1:] != vs[:-1]
+        run_first = np.maximum.accumulate(np.where(new_val, pos, 0))
+        rank = run_first - key_start + 1
+        # key sizes: spread each key's count over its rows
+        starts = np.flatnonzero(new_key)
+        counts = np.diff(np.append(starts, n))
+        size = np.repeat(counts, counts)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            pr = np.where(size > 1, (rank - 1) / (size - 1), 0.0)
+        inv = np.empty(n, dtype=np.int64)
+        inv[order] = np.arange(n)
+        return t.append_column(out_col, pa.array(pr[inv]))
+
+    return ds.map_batches(add_part, batch_format="pyarrow") \
+        .groupby("__part").map_groups(resolve, batch_format="pyarrow")

@@ -1,0 +1,101 @@
+"""Round-4 second-wave operators: keyed_lead, keyed_percent_rank,
+full-outer copartition_join, repetition quality signals."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def test_keyed_lead_matches_pandas_shift(ray_session):
+    import ray.data as rd
+
+    from proj_ray.stages.windows import keyed_lead
+
+    rng = np.random.default_rng(11)
+    n = 500
+    df = pd.DataFrame({
+        "k": rng.integers(0, 20, n),
+        "t": rng.integers(0, 10_000, n),
+        "v": rng.normal(size=n),
+        "id": np.arange(n),
+    })
+    # unique (k, t) so the ordering is unambiguous
+    df = df.drop_duplicates(subset=["k", "t"]).reset_index(drop=True)
+    out = keyed_lead(rd.from_pandas(df).repartition(5), key="k",
+                     time="t", value_cols=["v"]).to_pandas()
+    want = df.sort_values(["k", "t"]).copy()
+    want["v_lead"] = want.groupby("k")["v"].shift(-1)
+    merged = out.sort_values("id").reset_index(drop=True)
+    wanted = want.sort_values("id").reset_index(drop=True)
+    pd.testing.assert_series_equal(merged["v_lead"], wanted["v_lead"],
+                                   check_names=False)
+
+
+def test_keyed_percent_rank_with_ties(ray_session):
+    import ray.data as rd
+
+    from proj_ray.stages.windows import keyed_percent_rank
+
+    df = pd.DataFrame({
+        "k": [1, 1, 1, 1, 2, 2, 3],
+        "v": [5.0, 1.0, 5.0, 9.0, 2.0, 2.0, 7.0],
+        "id": range(7),
+    })
+    out = keyed_percent_rank(rd.from_pandas(df).repartition(3),
+                             key="k", order_col="v").to_pandas() \
+        .sort_values("id").reset_index(drop=True)
+    # pandas rank(method="min"): prank = (rank-1)/(n-1), 0 for n==1
+    want = df.copy()
+    r = df.groupby("k")["v"].rank(method="min")
+    nn = df.groupby("k")["v"].transform("size")
+    want["prank"] = np.where(nn > 1, (r - 1) / (nn - 1), 0.0)
+    np.testing.assert_allclose(out["prank"], want["prank"])
+
+
+def test_copartition_join_full_outer_both_sides(ray_session):
+    import ray.data as rd
+
+    from proj_ray.stages.relational import copartition_join
+
+    left = pd.DataFrame({"k": [1, 2, 2, 5], "lv": [10, 20, 21, 50]})
+    right = pd.DataFrame({"rk": [2, 3, 3, 7], "rv": ["a", "b", "c",
+                                                     "d"]})
+    out = copartition_join(rd.from_arrow(pa.Table.from_pandas(left)),
+                           rd.from_arrow(pa.Table.from_pandas(right)),
+                           on="k", right_on="rk",
+                           how="full").to_pandas()
+    want = left.merge(right, how="outer", left_on="k", right_on="rk")
+    want["k"] = want["k"].fillna(want["rk"])
+    want = want.drop(columns=["rk"])
+    o = out.sort_values(["k", "lv", "rv"], na_position="first") \
+        .reset_index(drop=True)
+    w = want.sort_values(["k", "lv", "rv"], na_position="first") \
+        .reset_index(drop=True)
+    assert len(o) == len(w) == 7
+    np.testing.assert_array_equal(o["k"].to_numpy(dtype=float),
+                                  w["k"].to_numpy(dtype=float))
+    np.testing.assert_array_equal(
+        o["lv"].fillna(-1).to_numpy(dtype=float),
+        w["lv"].fillna(-1).to_numpy(dtype=float))
+    assert list(o["rv"].fillna("")) == list(w["rv"].fillna(""))
+
+
+def test_repetition_stats_edges():
+    from proj_ray.stages.text import repetition_stats_batch
+
+    t = pa.table({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["a b a b a b",          # top 2-gram "a b" x3 of 5
+                 "x",                     # single token
+                 "",                      # empty -> [''] one token
+                 "p q r"],                # all distinct
+    })
+    out = repetition_stats_batch(t).to_pydict()
+    assert out["n_tok"] == [6, 1, 1, 3]
+    assert out["n_distinct"] == [2, 1, 1, 3]
+    assert out["top2gram_count"] == [3, 0, 0, 1]
+    assert out["dup_token_frac"][0] == pytest.approx(1 - 2 / 6)
+    assert out["top2gram_frac"][0] == pytest.approx(3 / 5)
+    assert out["top2gram_frac"][1] == 0.0
+    assert out["dup_token_frac"][3] == 0.0
