@@ -101,6 +101,8 @@ QUERY_NAMES = [
     "tile_pyramid",
     "doc_regex",
     "media_manifest",
+    "video_frames",
+    "embedding_centroids",
     "cust_order_profile",
     "lineitem_cube",
 ]

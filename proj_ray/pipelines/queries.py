@@ -2940,6 +2940,106 @@ def q_ann_ivf(sf_dir: str):
     return ann_ivf_topk(ds, queries, k=5)
 
 
+def q_video_frames(sf_dir: str):
+    """Multimodal video path: media spans -> synthetic payloads ->
+    actor-pool frame sampling (one row per sampled frame with its
+    timestamp) -> per-frame fingerprint.  Rows-only (payload durations
+    derive from sha256 of the ref — not SQL-expressible); the fan-out
+    counts are pinned by tests/test_media.py."""
+    import pyarrow.compute as pc
+
+    from proj_ray.docs.synth import doc_dataset_from_documents
+    from proj_ray.stages.media import FrameSampler, synth_media_batch
+
+    def media_refs(batch: pa.Table) -> pa.Table:
+        spans = batch.column("spans")
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        flat = spans.flatten()
+        mask = pc.equal(flat.field("kind"), "media")
+        return pa.table({"media_ref": flat.field("media_ref")
+                        .filter(mask)})
+
+    docs = doc_dataset_from_documents(sf_dir)
+    frames = docs.map_batches(media_refs, batch_format="pyarrow") \
+        .map_batches(synth_media_batch, batch_format="pyarrow") \
+        .map_batches(FrameSampler, batch_format="pandas",
+                     batch_size=1024, concurrency=2)
+
+    def fingerprint(df: pd.DataFrame) -> pd.DataFrame:
+        # deterministic per-frame id: ref hash mixed with timestamp
+        import zlib
+
+        crc = df["media_ref"].map(
+            lambda r: zlib.crc32(r.encode())).to_numpy(dtype=np.int64)
+        df = df.copy()
+        df["frame_id"] = crc * 1_000_003 + df["frame_ts_ms"].to_numpy()
+        return df
+
+    return frames.map_batches(fingerprint, batch_format="pandas")
+
+
+def q_embedding_centroids(sf_dir: str):
+    """Element-wise label centroids over the list<float> embedding
+    column: per-batch partial sums per (label, dim) — the vector
+    flattens zero-copy and reduces with one np.add.at — then a
+    bounded-key combine tree (labels x dims is a dimension table).
+    The list-column aggregate SQL twin unnests with a LATERAL index
+    range."""
+    import ray.data as rd
+
+    from proj_ray.stages.agg import tree_aggregate
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["label", "embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        lab = t.column("label").to_numpy(zero_copy_only=False)
+        e = t.column("embedding")
+        if isinstance(e, pa.ChunkedArray):
+            e = e.combine_chunks()
+        dim = len(e[0]) if len(e) else 0
+        flat = e.flatten().to_numpy(zero_copy_only=False) \
+            .astype(np.float64).reshape(len(t), dim)
+        ulab, inv = np.unique(lab, return_inverse=True)
+        sums = np.zeros((len(ulab), dim))
+        np.add.at(sums, inv, flat)
+        cnt = np.bincount(inv, minlength=len(ulab)).astype(np.int64)
+        k = len(ulab)
+        return pa.table({
+            "label": pa.array(np.repeat(ulab, dim), type=pa.int32()),
+            "dim": pa.array(np.tile(np.arange(dim, dtype=np.int64), k)),
+            "s": pa.array(sums.ravel()),
+            "n": pa.array(np.repeat(cnt, dim)),
+        })
+
+    agg = tree_aggregate(emb.map_batches(partial, batch_format="pyarrow"),
+                         ["label", "dim"],
+                         [("s", "sum"), ("n", "sum")])
+
+    def fin(t: pa.Table) -> pa.Table:
+        s = t.column("s").to_numpy(zero_copy_only=False)
+        n = t.column("n").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "label": t.column("label"),
+            "dim": t.column("dim"),
+            "mean_v": pa.array(np.round(s / n, 6)),
+            "n_vecs": pa.array(n.astype(np.int64)),
+        })
+
+    return agg.map_batches(fin, batch_format="pyarrow")
+
+
+SQL_EMBEDDING_CENTROIDS = """
+SELECT label, CAST(i - 1 AS BIGINT) AS dim,
+       round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS mean_v,
+       CAST(count(*) AS BIGINT) AS n_vecs
+FROM embeddings,
+     LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i)
+GROUP BY label, i
+"""
+
+
 def q_media_features(sf_dir: str):
     """Multimodal plumbing: media spans -> synthetic payloads ->
     actor-pool 'decode' -> compact features (rows-only)."""
@@ -3456,6 +3556,8 @@ def build_queries():
         "embedding_near_dup": q_embedding_near_dup,
         "ann_ivf": q_ann_ivf,
         "media_features": q_media_features,
+        "video_frames": q_video_frames,
+        "embedding_centroids": q_embedding_centroids,
         "audio_chunks": q_audio_chunks,
         "kmeans_clusters": q_kmeans_clusters,
         "lang_quality": q_lang_quality,
@@ -3514,6 +3616,7 @@ def build_oracles():
         "tile_regions": _sql_tile_regions(),
         "events_sliding": SQL_EVENTS_SLIDING,
         "events_lag": SQL_EVENTS_LAG,
+        "embedding_centroids": SQL_EMBEDDING_CENTROIDS,
         "events_lead": SQL_EVENTS_LEAD,
         "events_prank": SQL_EVENTS_PRANK,
         "user_customer_full": SQL_USER_CUSTOMER_FULL,

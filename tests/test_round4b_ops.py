@@ -99,3 +99,23 @@ def test_repetition_stats_edges():
     assert out["top2gram_frac"][0] == pytest.approx(3 / 5)
     assert out["top2gram_frac"][1] == 0.0
     assert out["dup_token_frac"][3] == 0.0
+
+
+def test_embedding_centroids_end_to_end(ray_session):
+    """Run the actual query at sf0.001 and check one label's centroid
+    against a direct numpy mean over the raw parquet."""
+    import pyarrow.parquet as pq
+
+    from proj_ray.pipelines.queries import q_embedding_centroids
+
+    sf = "/root/testdata/sf0.001"
+    got = q_embedding_centroids(sf).to_pandas()
+    raw = pq.read_table(f"{sf}/embeddings.parquet").to_pandas()
+    lab0 = int(raw["label"].iloc[0])
+    mat = np.stack(raw.loc[raw["label"] == lab0, "embedding"]
+                   .to_numpy()).astype(np.float64)
+    want = np.round(mat.mean(axis=0), 6)
+    g0 = got[got["label"] == lab0].sort_values("dim")
+    np.testing.assert_allclose(g0["mean_v"].to_numpy(), want,
+                               atol=1e-9)
+    assert (g0["n_vecs"] == len(mat)).all()
