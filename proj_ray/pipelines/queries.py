@@ -1790,14 +1790,13 @@ FROM events
 
 def q_user_customer_full(sf_dir: str):
     """FULL OUTER join: per-user event counts against the customer
-    dimension on user_id = custkey (copartition_join how='full') —
-    customers with no events appear with zero counts, users outside
-    the customer table keep a null segment.  Both sides corpus-scale:
-    co-partitioned, no broadcast."""
+    dimension on user_id = custkey (copartition_agg_join how='full',
+    one fused shuffle) — customers with no events appear with zero
+    counts, users outside the customer table keep a null segment.
+    Both sides corpus-scale: co-partitioned, no broadcast."""
     import ray.data as rd
 
-    from proj_ray.stages.agg import hash_shuffle_aggregate
-    from proj_ray.stages.relational import copartition_join
+    from proj_ray.stages.relational import copartition_agg_join
 
     ev = rd.read_parquet(f"{sf_dir}/events.parquet",
                          columns=["user_id"])
@@ -1809,18 +1808,17 @@ def q_user_customer_full(sf_dir: str):
         out = out.group_by("user_id").aggregate([("n_events", "sum")])
         return out.rename_columns(["user_id", "n_events"])
 
-    per_user = hash_shuffle_aggregate(
-        ev.map_batches(pre, batch_format="pyarrow"),
-        ["user_id"], [("n_events", "sum")])
-
     cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
                            columns=["c_custkey", "c_mktsegment"])
-    j = copartition_join(per_user, cust, on="user_id",
-                         right_on="c_custkey", how="full")
+    j = copartition_agg_join(
+        cust.rename_columns({"c_custkey": "uid"}),
+        ev.map_batches(pre, batch_format="pyarrow"),
+        on="uid", right_on="user_id", agg_cols=("n_events",),
+        how="full")
 
     def fin(t: pa.Table) -> pa.Table:
         return pa.table({
-            "uid": t.column("user_id"),
+            "uid": t.column("uid"),
             "n_events": pc.fill_null(t.column("n_events"), 0),
             "segment": pc.fill_null(t.column("c_mktsegment"), ""),
         })
@@ -3426,17 +3424,17 @@ GROUP BY 1""")
 
 
 def q_cust_order_profile(sf_dir: str):
-    """Per-customer order profile via the co-partitioned LEFT join:
+    """Per-customer order profile via the fused aggregate-join:
     orders pre-aggregate per custkey inside each batch (Arrow C++ hash
-    agg), finish exactly in the hash-partitioned aggregate, then the
-    searchsorted co-partition join attaches the profile to every
-    customer — customers with no orders keep zeros (LEFT semantics).
-    Both sides are corpus-scale: no broadcast, no driver pull, no
-    Acero actor pool."""
+    agg), then copartition_agg_join finishes the per-key sums INSIDE
+    the join partition and attaches them to every customer — one
+    shuffle where the round-4 first cut paid two (measured 6.0 s ->
+    1.7 s at sf0.1/32 cpus).  Customers with no orders keep zeros
+    (LEFT semantics).  Both sides corpus-scale: no broadcast, no
+    driver pull, no Acero actor pool."""
     import ray.data as rd
 
-    from proj_ray.stages.agg import hash_shuffle_aggregate
-    from proj_ray.stages.relational import copartition_join
+    from proj_ray.stages.relational import copartition_agg_join
 
     orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
                              columns=["o_custkey", "o_totalprice"])
@@ -3449,14 +3447,12 @@ def q_cust_order_profile(sf_dir: str):
             [("spend", "sum"), ("spend", "count")])
         return out.rename_columns(["o_custkey", "spend", "n_orders"])
 
-    prof = hash_shuffle_aggregate(
-        orders.map_batches(pre, batch_format="pyarrow"),
-        ["o_custkey"], [("spend", "sum"), ("n_orders", "sum")])
-
     cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
                            columns=["c_custkey", "c_nationkey"])
-    j = copartition_join(cust, prof, on="c_custkey",
-                         right_on="o_custkey", how="left")
+    j = copartition_agg_join(
+        cust, orders.map_batches(pre, batch_format="pyarrow"),
+        on="c_custkey", right_on="o_custkey",
+        agg_cols=("spend", "n_orders"), how="left")
 
     def fin(t: pa.Table) -> pa.Table:
         spend = pc.fill_null(t.column("spend"), 0.0) \

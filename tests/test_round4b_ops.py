@@ -119,3 +119,31 @@ def test_embedding_centroids_end_to_end(ray_session):
     np.testing.assert_allclose(g0["mean_v"].to_numpy(), want,
                                atol=1e-9)
     assert (g0["n_vecs"] == len(mat)).all()
+
+
+def test_copartition_agg_join_modes(ray_session):
+    import ray.data as rd
+
+    from proj_ray.stages.relational import copartition_agg_join
+
+    left = pa.table({"k": pa.array([1, 2, 5], type=pa.int64()),
+                     "name": ["a", "b", "e"]})
+    # right partials: key 2 split across rows (partial aggregation),
+    # key 7 has no left row
+    right = pa.table({"rk": pa.array([2, 2, 7], type=pa.int64()),
+                      "s": [10.0, 5.0, 3.0],
+                      "n": pa.array([2, 1, 4], type=pa.int64())})
+    for how, want_rows in (("inner", 1), ("left", 3), ("full", 4)):
+        out = copartition_agg_join(
+            rd.from_arrow(left), rd.from_arrow(right), on="k",
+            right_on="rk", agg_cols=("s", "n"), how=how).to_pandas()
+        assert len(out) == want_rows, how
+        row2 = out[out["k"] == 2].iloc[0]
+        assert row2["s"] == 15.0 and row2["n"] == 3
+        if how != "inner":
+            row1 = out[out["k"] == 1].iloc[0]
+            assert pd.isna(row1["s"]) and pd.isna(row1["n"])
+        if how == "full":
+            row7 = out[out["k"] == 7].iloc[0]
+            assert row7["s"] == 3.0 and row7["n"] == 4
+            assert pd.isna(row7["name"])
