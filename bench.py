@@ -74,6 +74,8 @@ QUERY_NAMES = [
     "events_lead",
     "events_prank",
     "user_customer_full",
+    "user_funnel",
+    "events_rolling",
     "events_running",
     "zonal_stats",
     "orders_top100",

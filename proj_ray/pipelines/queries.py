@@ -1788,6 +1788,86 @@ FROM events
 """
 
 
+def q_user_funnel(sf_dir: str):
+    """Ordered conversion funnel (view -> click -> purchase) per user:
+    stage k+1 counts only strictly after the first completion of
+    stage k (stages/windows.py keyed_funnel — one shuffle, one masked
+    reduceat per stage).  SQL twin chains per-stage min-after-previous
+    CTEs."""
+    import ray.data as rd
+
+    from proj_ray.stages.windows import keyed_funnel
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_type"])
+    return keyed_funnel(ds, key="user_id", time="ts",
+                        type_col="event_type",
+                        stages=["view", "click", "purchase"])
+
+
+SQL_USER_FUNNEL = """
+WITH s0 AS (
+    SELECT user_id, min(epoch_us(ts)) AS t0 FROM events
+    WHERE event_type = 'view' GROUP BY user_id
+),
+s1 AS (
+    SELECT e.user_id, min(epoch_us(e.ts)) AS t1 FROM events e
+    JOIN s0 USING (user_id)
+    WHERE e.event_type = 'click' AND epoch_us(e.ts) > s0.t0
+    GROUP BY e.user_id
+),
+s2 AS (
+    SELECT e.user_id, min(epoch_us(e.ts)) AS t2 FROM events e
+    JOIN s1 USING (user_id)
+    WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s1.t1
+    GROUP BY e.user_id
+),
+u AS (SELECT DISTINCT user_id FROM events)
+SELECT u.user_id,
+       CAST(CASE WHEN s2.t2 IS NOT NULL THEN 3
+                 WHEN s1.t1 IS NOT NULL THEN 2
+                 WHEN s0.t0 IS NOT NULL THEN 1
+                 ELSE 0 END AS BIGINT) AS depth,
+       CAST(coalesce(s2.t2, s1.t1, s0.t0, -1) AS BIGINT) AS t_complete
+FROM u LEFT JOIN s0 USING (user_id) LEFT JOIN s1 USING (user_id)
+       LEFT JOIN s2 USING (user_id)
+"""
+
+
+def q_events_rolling(sf_dir: str):
+    """Rows-frame moving average: each event's value averaged with its
+    user's two preceding events (stages/windows.py keyed_rolling_mean)
+    — the ROWS-frame twin of the time-range events_sliding."""
+    import ray.data as rd
+
+    from proj_ray.stages.windows import keyed_rolling_mean
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts", "value"])
+    out = keyed_rolling_mean(ds, key="user_id", time="ts",
+                             value_col="value", window_rows=3,
+                             tiebreak="event_id")
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": t.column("event_id"),
+            "user_id": t.column("user_id"),
+            "rmean": pa.array(np.round(
+                t.column("rmean").to_numpy(zero_copy_only=False), 6)),
+        })
+
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
+SQL_EVENTS_ROLLING = """
+SELECT event_id, user_id,
+       round(avg(value) OVER (PARTITION BY user_id ORDER BY ts,
+             event_id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+             6) AS rmean
+FROM events
+"""
+
+
 def q_user_customer_full(sf_dir: str):
     """FULL OUTER join: per-user event counts against the customer
     dimension on user_id = custkey (copartition_agg_join how='full',
@@ -3529,6 +3609,8 @@ def build_queries():
         "events_lead": q_events_lead,
         "events_prank": q_events_prank,
         "user_customer_full": q_user_customer_full,
+        "user_funnel": q_user_funnel,
+        "events_rolling": q_events_rolling,
         "events_running": q_events_running,
         "zonal_stats": q_zonal_stats,
         "orders_top100": q_orders_top100,
@@ -3616,6 +3698,8 @@ def build_oracles():
         "events_lead": SQL_EVENTS_LEAD,
         "events_prank": SQL_EVENTS_PRANK,
         "user_customer_full": SQL_USER_CUSTOMER_FULL,
+        "user_funnel": SQL_USER_FUNNEL,
+        "events_rolling": SQL_EVENTS_ROLLING,
         "events_running": SQL_EVENTS_RUNNING,
         "zonal_stats": _sql_zonal_stats(),
         "orders_top100": SQL_ORDERS_TOP100,

@@ -508,3 +508,118 @@ def keyed_percent_rank(ds, key: str, order_col: str,
 
     return ds.map_batches(add_part, batch_format="pyarrow") \
         .groupby("__part").map_groups(resolve, batch_format="pyarrow")
+
+
+def keyed_funnel(ds, key: str, time: str, type_col: str,
+                 stages: list[str], num_partitions: int = 32):
+    """Ordered funnel analysis: per key, how many of `stages` were
+    completed in strict time order (stage k+1 must first occur
+    STRICTLY AFTER the key's first completion of stage k).
+
+    One hash-partition shuffle on the key; each partition sorts its
+    slice once and resolves every stage with one vectorized masked
+    minimum.reduceat pass — no per-user loop.  Output: one row per
+    key, ``(key, depth, t_complete)`` where depth in [0, len(stages)]
+    and t_complete is the completion time of the deepest stage (int64
+    microseconds; -1 when depth == 0).
+    """
+    def add_part(t: pa.Table) -> pa.Table:
+        k = t.column(key).to_numpy(zero_copy_only=False)
+        return t.append_column("__part",
+                               pa.array(_part(k, num_partitions)))
+
+    def resolve(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["__part"])
+        n = len(t)
+        if n == 0:
+            return pa.table({key: t.column(key),
+                             "depth": pa.array([], type=pa.int64()),
+                             "t_complete": pa.array([],
+                                                    type=pa.int64())})
+        k = t.column(key).to_numpy(zero_copy_only=False)
+        tm = t.column(time).to_numpy(zero_copy_only=False)
+        tv = tm.view(np.int64) if tm.dtype.kind == "M" \
+            else tm.astype(np.int64)
+        typ = t.column(type_col).to_numpy(zero_copy_only=False)
+        order = np.lexsort((tv, k))
+        ks, ts_, typs = k[order], tv[order], typ[order]
+        first = np.empty(n, dtype=bool)
+        first[0] = True
+        first[1:] = ks[1:] != ks[:-1]
+        starts = np.flatnonzero(first)
+        n_keys = len(starts)
+        seg = np.cumsum(first) - 1           # key index per row
+        INF = np.iinfo(np.int64).max
+        prev_t = np.full(n_keys, np.iinfo(np.int64).min)
+        depth = np.zeros(n_keys, dtype=np.int64)
+        t_complete = np.full(n_keys, -1, dtype=np.int64)
+        alive = np.ones(n_keys, dtype=bool)
+        for s_name in stages:
+            cand = np.where((typs == s_name)
+                            & (ts_ > prev_t[seg])
+                            & alive[seg], ts_, INF)
+            first_t = np.minimum.reduceat(cand, starts)
+            hit = (first_t != INF) & alive
+            prev_t = np.where(hit, first_t, prev_t)
+            depth += hit.astype(np.int64)
+            t_complete = np.where(hit, first_t, t_complete)
+            alive = hit
+            if not alive.any():
+                break
+        return pa.table({key: pa.array(ks[starts]),
+                         "depth": pa.array(depth),
+                         "t_complete": pa.array(t_complete)})
+
+    return ds.map_batches(add_part, batch_format="pyarrow") \
+        .groupby("__part").map_groups(resolve, batch_format="pyarrow")
+
+
+def keyed_rolling_mean(ds, key: str, time: str, value_col: str,
+                       window_rows: int, out_col: str = "rmean",
+                       num_partitions: int = 32,
+                       tiebreak: str | None = None):
+    """Rows-frame moving average — SQL's ``AVG(v) OVER (PARTITION BY
+    key ORDER BY time ROWS BETWEEN window_rows-1 PRECEDING AND CURRENT
+    ROW)``.  One shuffle + per-partition lexsort; the window sum is a
+    prefix-sum difference with the window start clamped at each key's
+    first row."""
+    if window_rows < 1:
+        raise ValueError("window_rows must be >= 1")
+
+    def add_part(t: pa.Table) -> pa.Table:
+        k = t.column(key).to_numpy(zero_copy_only=False)
+        return t.append_column("__part",
+                               pa.array(_part(k, num_partitions)))
+
+    def resolve(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["__part"])
+        n = len(t)
+        if n == 0:
+            return t.append_column(out_col,
+                                   pa.array([], type=pa.float64()))
+        k = t.column(key).to_numpy(zero_copy_only=False)
+        tm = t.column(time).to_numpy(zero_copy_only=False)
+        tv = tm.view(np.int64) if tm.dtype.kind == "M" else tm
+        v = t.column(value_col).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        if tiebreak is not None:
+            tb = t.column(tiebreak).to_numpy(zero_copy_only=False)
+            order = np.lexsort((tb, tv, k))
+        else:
+            order = np.lexsort((tv, k))
+        ks, vs = k[order], v[order]
+        firstmask = np.empty(n, dtype=bool)
+        firstmask[0] = True
+        firstmask[1:] = ks[1:] != ks[:-1]
+        pos = np.arange(n, dtype=np.int64)
+        key_start = np.maximum.accumulate(np.where(firstmask, pos, 0))
+        win_start = np.maximum(pos - window_rows + 1, key_start)
+        csum = np.concatenate([[0.0], np.cumsum(vs)])
+        rsum = csum[pos + 1] - csum[win_start]
+        rmean = rsum / (pos + 1 - win_start)
+        inv = np.empty(n, dtype=np.int64)
+        inv[order] = np.arange(n)
+        return t.append_column(out_col, pa.array(rmean[inv]))
+
+    return ds.map_batches(add_part, batch_format="pyarrow") \
+        .groupby("__part").map_groups(resolve, batch_format="pyarrow")

@@ -147,3 +147,51 @@ def test_copartition_agg_join_modes(ray_session):
             row7 = out[out["k"] == 7].iloc[0]
             assert row7["s"] == 3.0 and row7["n"] == 4
             assert pd.isna(row7["name"])
+
+
+def test_keyed_funnel_strict_ordering(ray_session):
+    import ray.data as rd
+
+    from proj_ray.stages.windows import keyed_funnel
+
+    # user 1: full funnel in order; user 2: B before A (depth 1 only
+    # after A appears later with no B after it); user 3: A only;
+    # user 4: none of the stages
+    t = pa.table({
+        "u": [1, 1, 1, 2, 2, 3, 4],
+        "ts": pa.array([10, 20, 30, 5, 8, 7, 9], type=pa.int64()),
+        "typ": ["A", "B", "C", "B", "A", "A", "X"],
+    })
+    out = {r["u"]: (r["depth"], r["t_complete"])
+           for r in keyed_funnel(rd.from_arrow(t), key="u", time="ts",
+                                 type_col="typ",
+                                 stages=["A", "B", "C"]).take_all()}
+    assert out[1] == (3, 30)
+    assert out[2] == (1, 8)   # B at 5 precedes first A -> not counted
+    assert out[3] == (1, 7)
+    assert out[4] == (0, -1)
+
+
+def test_keyed_rolling_mean_matches_pandas(ray_session):
+    import ray.data as rd
+
+    from proj_ray.stages.windows import keyed_rolling_mean
+
+    rng = np.random.default_rng(5)
+    n = 400
+    df = pd.DataFrame({
+        "k": rng.integers(0, 15, n),
+        "t": np.arange(n),
+        "v": rng.normal(size=n),
+        "id": np.arange(n),
+    })
+    out = keyed_rolling_mean(
+        rd.from_arrow(pa.Table.from_pandas(df)), key="k", time="t",
+        value_col="v", window_rows=4).to_pandas() \
+        .sort_values("id").reset_index(drop=True)
+    want = df.sort_values(["k", "t"]).copy()
+    want["rmean"] = want.groupby("k")["v"].transform(
+        lambda s: s.rolling(4, min_periods=1).mean())
+    want = want.sort_values("id").reset_index(drop=True)
+    np.testing.assert_allclose(out["rmean"], want["rmean"],
+                               atol=1e-12)
