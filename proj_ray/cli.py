@@ -62,15 +62,29 @@ def _run(defn: str, cols, inverse: bool, cct: bool):
                             direction="inverse" if inverse else "forward")
 
 
+def _looks_like_crs_text(t: str) -> bool:
+    """WKT (KEYWORD[...]) or PROJJSON ({...}) CRS text passed as one
+    shell-quoted token."""
+    import re
+
+    return t.lstrip().startswith("{") or \
+        bool(re.match(r"^[A-Za-z_]+\s*[\[\(]", t.strip()))
+
+
 def _cs2cs_defn(tokens: List[str]) -> str:
     """cs2cs-style CRS pair -> one pipeline definition.
 
-    Accepts `+proj=... +to +proj=...` (the reference's syntax) or two
+    Accepts `+proj=... +to +proj=...` (the reference's syntax), two
     `EPSG:NNNN` codes resolved through the engine's init shim
-    (epsg_init.py)."""
+    (epsg_init.py), or WKT / PROJJSON CRS text (each as one
+    shell-quoted argument) parsed by proj_ray.crs."""
     def expand(t: str) -> str:
         if t.upper().startswith("EPSG:"):
             return f"+init=epsg:{t.split(':', 1)[1]}"
+        if _looks_like_crs_text(t):
+            from proj_ray.crs import CRS
+
+            return CRS.from_user_input(t).to_proj_string()
         return t
 
     if "+to" in tokens:
@@ -315,7 +329,8 @@ def main(argv=None) -> int:
     tokens = list(args.defn)
     infile = None
     if tokens and not tokens[-1].startswith(("+", "proj=", "step", "inv")) \
-            and not tokens[-1].upper().startswith("EPSG:"):
+            and not tokens[-1].upper().startswith("EPSG:") \
+            and not _looks_like_crs_text(tokens[-1]):
         infile = tokens.pop()
     if args.mode == "geod":
         return _main_geod(args, tokens, infile)

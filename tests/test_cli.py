@@ -94,3 +94,41 @@ def test_geod_line_mode_intermediate_points():
     last = [float(v) for v in lines[-1].split()]
     assert first == [40.0, -70.0]
     assert abs(last[0] - 45.0) < 1e-6 and abs(last[1] + 120.0) < 1e-6
+
+
+WKT_UTM32 = ('PROJCS["WGS 84 / UTM zone 32N",GEOGCS["WGS 84",'
+             'DATUM["WGS_1984",SPHEROID["WGS 84",6378137,'
+             '298.257223563]],PRIMEM["Greenwich",0],'
+             'UNIT["degree",0.0174532925199433]],'
+             'PROJECTION["Transverse_Mercator"],'
+             'PARAMETER["latitude_of_origin",0],'
+             'PARAMETER["central_meridian",9],'
+             'PARAMETER["scale_factor",0.9996],'
+             'PARAMETER["false_easting",500000],'
+             'PARAMETER["false_northing",0],UNIT["metre",1]]')
+
+
+def test_cs2cs_wkt_argument():
+    # WKT CRS text as one shell token, paired with a proj string
+    r = _run(["cs2cs", "+proj=longlat", "+ellps=WGS84", "+to",
+              WKT_UTM32], "9 45 0\n")
+    assert r.returncode == 0, r.stderr
+    x, y = map(float, r.stdout.split()[:2])
+    assert abs(x - 500000.0) < 0.01
+
+
+def test_cs2cs_projjson_argument():
+    import json
+
+    pj = json.dumps({
+        "type": "GeographicCRS", "name": "WGS 84",
+        "datum": {"type": "GeodeticReferenceFrame",
+                  "name": "World Geodetic System 1984",
+                  "ellipsoid": {"name": "WGS 84",
+                                "semi_major_axis": 6378137,
+                                "inverse_flattening": 298.257223563}},
+    })
+    r = _run(["cs2cs", pj, WKT_UTM32], "9 45 0\n")
+    assert r.returncode == 0, r.stderr
+    x, _ = map(float, r.stdout.split()[:2])
+    assert abs(x - 500000.0) < 0.01
