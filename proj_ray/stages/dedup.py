@@ -585,9 +585,18 @@ def ngram_jaccard_pairs(docs_ds, jaccard_threshold: float = 0.8,
                                                 dtype=np.int64))})
 
     n_docs = sigs.count()
-    freq_ds = hash_shuffle_aggregate(
+    # combine tree, not a hash shuffle: every path below pulls the df
+    # table to the driver for the (freq, hash)-order broadcast, so the
+    # vocab-fits-one-task assumption already governs this op; the tree
+    # (per-block partials -> 8-way fan-in -> final) costs one cheap
+    # narrow exchange where the sort-based groupby cost ~4.4 s of the
+    # query's ~10 s at sf0.1.  max_keys=None: the bound is enforced by
+    # the same driver materialization two lines down.
+    from proj_ray.stages.agg import tree_aggregate
+
+    freq_ds = tree_aggregate(
         sigs.map_batches(explode_shingles, batch_format="pyarrow"),
-        ["shingle"], [("df", "sum")], num_buckets=32)
+        ["shingle"], [("df", "sum")], fanout=8, max_keys=None)
     freq_tbl = pa.concat_tables(ray.get(freq_ds.to_arrow_refs()),
                                 promote_options="default")
     fvals = freq_tbl.column("shingle").to_numpy(zero_copy_only=False)
