@@ -137,9 +137,16 @@ def tfidf_terms(ds, id_col: str, text_col: str, min_tf: int = 3,
                          "df": pa.array(np.ones(len(t),
                                                 dtype=np.int64))})
 
-    df_tbl = hash_shuffle_aggregate(
+    # combine tree, not a hash shuffle: the df table is pulled to the
+    # driver for the scoring broadcast two lines down, so the
+    # vocab-fits-one-task assumption already governs this op and the
+    # narrow fan-in exchange is strictly cheaper than a sort-based
+    # groupby (same reasoning as dedup.py's shingle-df table)
+    from proj_ray.stages.agg import tree_aggregate
+
+    df_tbl = tree_aggregate(
         tf.map_batches(df_batch, batch_format="pyarrow"),
-        ["tok"], [("df", "sum")]).materialize()
+        ["tok"], [("df", "sum")], fanout=8, max_keys=None).materialize()
     dfs = pa.concat_tables(ray.get(df_tbl.to_arrow_refs()),
                            promote_options="default")
     n_docs = ds.count()
