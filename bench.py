@@ -39,6 +39,9 @@ QUERY_NAMES = [
     "poly_area",
     "poly_area_sphere",
     "doc_track_length",
+    "doc_track_bearing",
+    "poly_perimeter",
+    "radius_join",
     "track_simplify",
     "cell_histogram",
     "tile_histogram",

@@ -1221,6 +1221,113 @@ SELECT doc_id,
 FROM lagged GROUP BY doc_id""")
 
 
+def q_poly_perimeter(sf_dir: str):
+    """Haversine perimeter of each synthetic polygon ring
+    (spatial/geometry.py polygon_perimeter) — oracle: the shared
+    vertex/edge CTE plus the same haversine expression summed per
+    ring."""
+    from proj_ray.spatial.geometry import polygon_perimeter
+
+    out = polygon_perimeter(_polygon_vertices_dataset(),
+                            key="polygon_id", seq="seq",
+                            lon_col="x", lat_col="y")
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "polygon_id": t.column("polygon_id"),
+            "perimeter_m": pa.array(np.round(
+                t.column("perimeter_m").to_numpy(zero_copy_only=False),
+                3)),
+            "n_vertices": t.column("n_vertices"),
+        })
+
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
+def _sql_poly_perimeter() -> str:
+    hav = sql_haversine_expr("xi", "yi", "xj", "yj")
+    return ("WITH " + _sql_polygon_verts_cte().lstrip() + f"""
+SELECT printf('poly-%06d', p) AS polygon_id,
+       round(sum({hav}), 3) AS perimeter_m,
+       CAST(count(*) AS BIGINT) AS n_vertices
+FROM edges GROUP BY p""")
+
+
+def q_doc_track_bearing(sf_dir: str):
+    """Initial great-circle bearing of every track segment (spherical
+    forward-azimuth formula — SQL-expressible trig, unlike Karney):
+    keyed LAG pairs consecutive coord spans per doc, then one
+    vectorized atan2 per batch."""
+    from proj_ray.stages.windows import keyed_lag
+
+    ds = coords_dataset(sf_dir)
+    lagged = keyed_lag(ds, key="doc_id", time="offset",
+                       value_cols=["lon", "lat"])
+
+    def seg(t: pa.Table) -> pa.Table:
+        lon2 = np.radians(t.column("lon").to_numpy(zero_copy_only=False))
+        lat2 = np.radians(t.column("lat").to_numpy(zero_copy_only=False))
+        lon1 = np.radians(t.column("lon_lag")
+                          .to_numpy(zero_copy_only=False))
+        lat1 = np.radians(t.column("lat_lag")
+                          .to_numpy(zero_copy_only=False))
+        valid = ~np.isnan(lon1)
+        dlon = lon2 - lon1
+        y = np.sin(dlon) * np.cos(lat2)
+        x = np.cos(lat1) * np.sin(lat2) \
+            - np.sin(lat1) * np.cos(lat2) * np.cos(dlon)
+        brg = np.degrees(np.arctan2(y, x)) % 360.0
+        out = pa.table({
+            "doc_id": t.column("doc_id"),
+            "offset": t.column("offset"),
+            "bearing": pa.array(np.round(np.where(valid, brg, -1.0),
+                                         6)),
+        })
+        return out.filter(pa.array(valid))
+
+    return lagged.map_batches(seg, batch_format="pyarrow")
+
+
+def _sql_doc_track_bearing() -> str:
+    return ("WITH " + sql_coords_cte() + """,
+lagged AS (
+    SELECT doc_id, off, lon, lat,
+           LAG(lon) OVER (PARTITION BY doc_id ORDER BY off) AS plon,
+           LAG(lat) OVER (PARTITION BY doc_id ORDER BY off) AS plat
+    FROM coords
+)
+SELECT doc_id, off AS offset,
+       round(fmod(degrees(atan2(
+           sin(radians(lon - plon)) * cos(radians(lat)),
+           cos(radians(plat)) * sin(radians(lat))
+           - sin(radians(plat)) * cos(radians(lat))
+             * cos(radians(lon - plon)))) + 360.0, 360.0), 6)
+           AS bearing
+FROM lagged WHERE plon IS NOT NULL""")
+
+
+def q_radius_join(sf_dir: str):
+    """Fixed-radius spatial join: every coord span within 1,000 km of
+    any of 50 fixed sites (spatial/knn.py radius_join — cap-cell
+    pruning, then a vectorized points x queries haversine per batch;
+    the corpus scans once, never shuffles).  Oracle: brute cross
+    join."""
+    from proj_ray.spatial.knn import make_queries, radius_join
+
+    return radius_join(coords_dataset(sf_dir), make_queries(50),
+                       radius_m=1_000_000.0)
+
+
+def _sql_radius_join() -> str:
+    hav = sql_haversine_expr("q.qlon", "q.qlat", "c.lon", "c.lat")
+    return ("WITH " + sql_coords_cte() + ", "
+            + sql_queries_cte(50) + f"""
+SELECT q.query_id, c.doc_id, c.off AS offset,
+       round({hav}, 6) AS dist_r
+FROM coords c CROSS JOIN queries q
+WHERE {hav} <= 1000000.0""")
+
+
 def q_track_simplify(sf_dir: str):
     """Douglas-Peucker simplification of each document's coord track at
     0.5-degree tolerance (spatial/geometry.py simplify_tracks) —
@@ -3569,6 +3676,9 @@ def build_queries():
         "poly_area": q_poly_area,
         "poly_area_sphere": q_poly_area_sphere,
         "doc_track_length": q_doc_track_length,
+        "doc_track_bearing": q_doc_track_bearing,
+        "poly_perimeter": q_poly_perimeter,
+        "radius_join": q_radius_join,
         "track_simplify": q_track_simplify,
         "cell_assign": q_cell_assign,
         "tile_assign": q_tile_assign,
@@ -3673,6 +3783,9 @@ def build_oracles():
         "projjson_project": SQL_WEBMERC,
         "poly_area": _sql_poly_area(),
         "doc_track_length": _sql_doc_track_length(),
+        "doc_track_bearing": _sql_doc_track_bearing(),
+        "poly_perimeter": _sql_poly_perimeter(),
+        "radius_join": _sql_radius_join(),
         "text_stats": SQL_TEXT_STATS,
         "doc_repetition": SQL_DOC_REPETITION,
         "exact_dedup": SQL_EXACT_DEDUP,

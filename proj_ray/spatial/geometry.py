@@ -12,10 +12,10 @@ geometry's vertices fit one task — rings/tracks are bounded (10^6
 vertices is ~16 MB), the corpus is not.
 
 Ops: planar shoelace area/centroid (Gauss's formula), spherical-excess
-area on the authalic sphere (sum of triangle excesses via L'Huilier —
+area on the authalic sphere (Chamberlain-Duquette line integral —
 published identity; ellipsoidal correctness to ~0.3% which is the
-documented accuracy), Douglas-Peucker track simplification (stack
-form of the published algorithm), haversine track length.
+documented accuracy), haversine ring perimeter, Douglas-Peucker track
+simplification (stack form of the published algorithm).
 
 Reference parity: the reference ships geodesic area through geod's
 Karney C4 series (geodesic.c); this module's spherical-excess area is
@@ -105,9 +105,6 @@ def polygon_area_centroid(ds, key: str = "polygon_id",
             k = np.array([hash(v) for v in k], dtype=np.int64)
         return t.append_column("__part",
                                pa.array(_part(k, nparts)))
-
-    out_schema = {key: None, "area": pa.float64(), "cx": pa.float64(),
-                  "cy": pa.float64(), "n_vertices": pa.int64()}
 
     def resolve(t: pa.Table) -> pa.Table:
         t = t.drop_columns(["__part"])
@@ -292,6 +289,53 @@ def simplify_tracks(ds, key: str = "doc_id", seq: str = "offset",
             keep[st:st + ct] = douglas_peucker_mask(  # vertices vectorized
                 x[st:st + ct], y[st:st + ct], tol)
         return t.take(pa.array(order[keep]))
+
+    return ds.map_batches(add_part, batch_format="pyarrow") \
+        .groupby("__part").map_groups(resolve, batch_format="pyarrow")
+
+
+def polygon_perimeter(ds, key: str = "polygon_id", seq: str = "seq",
+                      lon_col: str = "lon", lat_col: str = "lat",
+                      num_partitions: int | None = None):
+    """Haversine perimeter of each closed lon/lat ring (metres) — same
+    one-shuffle vertex-stream shape as polygon_area_centroid; the wrap
+    edge closes the ring."""
+    from proj_ray.spatial.knn import haversine_m
+    from proj_ray.stages.partitioning import derive_num_partitions
+
+    nparts = num_partitions or derive_num_partitions(ds, default=32)
+
+    def add_part(t: pa.Table) -> pa.Table:
+        k = t.column(key).to_numpy(zero_copy_only=False)
+        if k.dtype.kind not in "iu":
+            k = np.array([hash(v) for v in k], dtype=np.int64)
+        return t.append_column("__part", pa.array(_part(k, nparts)))
+
+    def resolve(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["__part"])
+        if len(t) == 0:
+            return pa.table({key: t.column(key),
+                             "perimeter_m": pa.array(
+                                 [], type=pa.float64()),
+                             "n_vertices": pa.array([],
+                                                    type=pa.int64())})
+        k = t.column(key).to_numpy(zero_copy_only=False)
+        s = t.column(seq).to_numpy(zero_copy_only=False)
+        order = np.lexsort((s, k))
+        ks = k[order]
+        lon = t.column(lon_col).to_numpy(zero_copy_only=False)[order]
+        lat = t.column(lat_col).to_numpy(zero_copy_only=False)[order]
+        starts, counts = _key_spans(ks)
+        n = len(ks)
+        nxt = np.arange(1, n + 1, dtype=np.int64)
+        ends = starts + counts - 1
+        nxt[ends] = starts
+        d = haversine_m(lon, lat, lon[nxt], lat[nxt])
+        ring_id = np.repeat(np.arange(len(starts)), counts)
+        per = np.bincount(ring_id, weights=d, minlength=len(starts))
+        return pa.table({key: pa.array(ks[starts]),
+                         "perimeter_m": pa.array(per),
+                         "n_vertices": pa.array(counts.astype(np.int64))})
 
     return ds.map_batches(add_part, batch_format="pyarrow") \
         .groupby("__part").map_groups(resolve, batch_format="pyarrow")

@@ -259,3 +259,56 @@ queries AS (
            ((48271 * s1) % 2147483647 % 1600000) / 10000.0 - 80.0 AS qlat
     FROM qq
 )"""
+
+
+def radius_join(coords_ds, queries: Dict, radius_m: float,
+                res_deg: float = 5.0):
+    """All (query, point) pairs within `radius_m` metres — the
+    fixed-radius twin of knn_cell_ring.  One cheap cell-filter pass
+    prunes the stream to the union of every query's conservative cap
+    covering (`_cap_cells` — exact containment guarantee), then each
+    surviving batch scores the full query matrix vectorized (points x
+    queries haversine broadcast) and emits only in-radius pairs.  The
+    corpus is scanned once and never shuffles."""
+    import ray
+
+    from proj_ray.stages.worker_cache import get_broadcast
+
+    qlon = np.asarray(queries["lon"], dtype=np.float64)
+    qlat = np.asarray(queries["lat"], dtype=np.float64)
+    qid = np.asarray(queries["query_id"])
+    cells: set = set()
+    for qi in range(len(qid)):
+        cells.update(int(c) for c in _cap_cells(
+            float(qlon[qi]), float(qlat[qi]), radius_m * 1.001,
+            res_deg))
+    cell_arr = np.fromiter(cells, dtype=np.int64)
+    qref = ray.put((qlon, qlat, qid))
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        from proj_ray.spatial.cells import grid_cell
+
+        ql, qb, qids = get_broadcast(qref)
+        lon = batch.column("lon").to_numpy(zero_copy_only=False)
+        lat = batch.column("lat").to_numpy(zero_copy_only=False)
+        keep = np.isin(grid_cell(lon, lat, res_deg), cell_arr)
+        if not keep.any():
+            return pa.table({
+                "query_id": pa.array([], type=pa.int64()),
+                "doc_id": pa.array([], type=pa.int64()),
+                "offset": pa.array([], type=pa.int64()),
+                "dist_r": pa.array([], type=pa.float64())})
+        f = batch.filter(pa.array(keep))
+        lon = lon[keep]
+        lat = lat[keep]
+        d = haversine_m(lon[:, None], lat[:, None],
+                        ql[None, :], qb[None, :])
+        rows, qs = np.nonzero(d <= radius_m)
+        return pa.table({
+            "query_id": pa.array(qids[qs]),
+            "doc_id": f.column("doc_id").take(pa.array(rows)),
+            "offset": f.column("offset").take(pa.array(rows)),
+            "dist_r": pa.array(np.round(d[rows, qs], 6)),
+        })
+
+    return coords_ds.map_batches(pairs, batch_format="pyarrow")

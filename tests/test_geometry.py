@@ -183,3 +183,53 @@ def test_polygon_area_centroid_dataset(ray_session):
                               seq="offset", x_col="lon", y_col="lat",
                               tol=1e-6).take_all()
     assert len(kept_lo) == n
+
+
+def test_polygon_perimeter_known_square(ray_session):
+    import ray.data as rd
+
+    from proj_ray.spatial.geometry import polygon_perimeter
+    from proj_ray.spatial.knn import haversine_m
+
+    # 1-degree square at the equator: perimeter = 2 edges along
+    # meridians + 2 along the equator, each ~111 km by haversine
+    t = pa.table({
+        "polygon_id": [1, 1, 1, 1],
+        "seq": [0, 1, 2, 3],
+        "lon": [0.0, 1.0, 1.0, 0.0],
+        "lat": [0.0, 0.0, 1.0, 1.0],
+    })
+    rows = polygon_perimeter(rd.from_arrow(t), key="polygon_id",
+                             seq="seq").take_all()
+    d_eq = haversine_m(0.0, 0.0, 1.0, 0.0)
+    d_me = haversine_m(0.0, 0.0, 0.0, 1.0)
+    d_top = haversine_m(0.0, 1.0, 1.0, 1.0)
+    want = d_eq + d_me + d_top + d_me
+    assert rows[0]["perimeter_m"] == pytest.approx(want, rel=1e-12)
+
+
+def test_radius_join_matches_brute(ray_session):
+    import ray.data as rd
+
+    from proj_ray.spatial.knn import haversine_m, radius_join
+
+    rng = np.random.default_rng(9)
+    n = 2000
+    lon = rng.uniform(-179, 179, n)
+    lat = rng.uniform(-75, 75, n)
+    pts = pa.table({"doc_id": np.arange(n, dtype=np.int64),
+                    "offset": np.zeros(n, dtype=np.int64),
+                    "lon": lon, "lat": lat})
+    queries = {"query_id": np.arange(5, dtype=np.int64),
+               "lon": np.array([0.0, 90.0, -120.0, 60.0, 10.0]),
+               "lat": np.array([0.0, 45.0, -30.0, 70.0, -60.0])}
+    R = 800_000.0
+    got = radius_join(rd.from_arrow(pts).repartition(4), queries,
+                      radius_m=R).to_pandas()
+    # brute truth
+    d = haversine_m(lon[:, None], lat[:, None],
+                    queries["lon"][None, :], queries["lat"][None, :])
+    rows, qs = np.nonzero(d <= R)
+    want = set(zip(qs.tolist(), rows.tolist()))
+    got_set = set(zip(got["query_id"].tolist(), got["doc_id"].tolist()))
+    assert got_set == want and len(want) > 10
