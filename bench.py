@@ -99,6 +99,7 @@ QUERY_NAMES = [
     "frequent_tokens",
     "tfidf_terms",
     "weighted_sample",
+    "doc_split",
     "audio_chunks",
     "top_segment",
     "events_rank",

@@ -2977,6 +2977,46 @@ def q_stratified_sample(sf_dir: str):
                                   strat_col="lang", seed=7)
 
 
+_SPLIT_FRACTIONS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def q_doc_split(sf_dir: str):
+    """Deterministic train/val/test split (80/10/10): the label is a
+    pure function of (doc_id, seed) — stable across re-runs,
+    re-partitioning and cluster sizes (stages/sampling.py hash_split).
+    Returns per-split document counts and char volume."""
+    import ray.data as rd
+
+    from proj_ray.stages.agg import tree_aggregate
+    from proj_ray.stages.sampling import hash_split
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "n_chars"])
+    labeled = hash_split(ds, _SPLIT_FRACTIONS, id_col="doc_id", seed=11)
+
+    def partial(t: pa.Table) -> pa.Table:
+        out = pa.table({
+            "split": t.column("split"),
+            "n_docs": pa.array(np.ones(len(t), dtype=np.int64)),
+            "n_chars": t.column("n_chars"),
+        }).group_by("split").aggregate([("n_docs", "sum"),
+                                        ("n_chars", "sum")])
+        return out.rename_columns(["split", "n_docs", "n_chars"])
+
+    return tree_aggregate(
+        labeled.map_batches(partial, batch_format="pyarrow"),
+        ["split"], [("n_docs", "sum"), ("n_chars", "sum")])
+
+
+def _sql_doc_split() -> str:
+    from proj_ray.stages.sampling import sql_hash_split_expr
+
+    expr = sql_hash_split_expr(_SPLIT_FRACTIONS, seed=11)
+    return (f"SELECT {expr} AS split, "
+            f"CAST(count(*) AS BIGINT) AS n_docs, "
+            f"sum(n_chars) AS n_chars FROM documents GROUP BY 1")
+
+
 def _sql_doc_sample() -> str:
     from proj_ray.stages.sampling import sql_hash_sample_pred
 
@@ -3705,6 +3745,7 @@ def build_queries():
         "dedup_clusters": q_dedup_clusters,
         "near_dup_keep": q_near_dup_keep,
         "doc_sample": q_doc_sample,
+        "doc_split": q_doc_split,
         "stratified_sample": q_stratified_sample,
         "events_asof": q_events_asof,
         "events_sessionize": q_events_sessionize,
@@ -3796,6 +3837,7 @@ def build_oracles():
         "dedup_clusters": SQL_DEDUP_CLUSTERS,
         "near_dup_keep": SQL_NEAR_DUP_KEEP,
         "doc_sample": _sql_doc_sample(),
+        "doc_split": _sql_doc_split(),
         "stratified_sample": _sql_stratified_sample(),
         "events_asof": SQL_EVENTS_ASOF,
         "events_sessionize": SQL_EVENTS_SESSIONIZE,

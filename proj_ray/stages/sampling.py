@@ -141,3 +141,51 @@ def weighted_sample(ds, k: int, weight_col: str,
                         descending=True, tiebreak=id_col,
                         num_partitions=1)
     return top.drop_columns(["__es", "__const"])
+
+
+def hash_split(ds, fractions: dict, id_col: str = "doc_id",
+               seed: int = 0, out_col: str = "split"):
+    """Deterministic train/val/test split: each row's split label is a
+    pure function of (id, seed), so the assignment is stable across
+    re-runs, re-partitioning and cluster sizes — the property a
+    resumable 100-TB preprocessing job needs.  `fractions` maps label
+    -> fraction (must sum to <= 1; any remainder falls into the LAST
+    label).  The uniform variate is the same Knuth multiplicative hash
+    the samplers use; labels assign by cumulative threshold."""
+    labels = list(fractions)
+    if not labels:
+        raise ValueError("hash_split: fractions required")
+    fracs = np.array([fractions[b] for b in labels], dtype=np.float64)
+    if (fracs < 0).any() or fracs.sum() > 1.0 + 1e-12:
+        raise ValueError("hash_split: fractions must be >= 0, sum <= 1")
+    cuts = np.cumsum(fracs)
+    cuts[-1] = 1.0  # remainder folds into the last label
+    # exact uint64 thresholds (same 2**64-rounding guard as
+    # hash_keep_mask)
+    thresh = np.array([min(int(c * float(_TWO64)), _TWO64 - 1)
+                       for c in cuts], dtype=np.uint64)
+    lab_arr = np.array(labels)
+
+    def assign(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        h = (ids.astype(np.uint64) + np.uint64(seed)) * PHI64
+        idx = np.searchsorted(thresh, h, side="right")
+        idx = np.minimum(idx, len(labels) - 1)
+        return t.append_column(out_col, pa.array(lab_arr[idx]))
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def sql_hash_split_expr(fractions: dict, id_col: str = "doc_id",
+                        seed: int = 0) -> str:
+    """DuckDB CASE expression computing the IDENTICAL split label."""
+    labels = list(fractions)
+    fracs = np.cumsum([fractions[b] for b in labels])
+    h = (f"(({id_col}::HUGEINT + {seed}) * {_PHI64_INT}::HUGEINT)"
+         f" % {_TWO64}::HUGEINT")
+    arms = []
+    for lab, c in zip(labels[:-1], fracs[:-1]):
+        t = min(int(float(c) * float(_TWO64)), _TWO64 - 1)
+        arms.append(f"WHEN {h} < {t}::HUGEINT THEN '{lab}'")
+    return ("CASE " + " ".join(arms)
+            + f" ELSE '{labels[-1]}' END")

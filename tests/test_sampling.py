@@ -130,3 +130,31 @@ def test_weighted_sample_prefers_heavy_rows():
     # heavy rows are 5% of the population but ~72% of the weight;
     # across 8 seeds x 20 picks they must dominate clearly
     assert heavy_hits >= 0.5 * 8 * 20
+
+
+def test_hash_split_stable_and_proportional(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from proj_ray.stages.sampling import hash_split
+
+    n = 20000
+    t = pa.table({"doc_id": np.arange(n, dtype=np.int64)})
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = hash_split(rd.from_arrow(t).repartition(6), fr,
+                     seed=3).to_pandas()
+    counts = out["split"].value_counts()
+    assert abs(counts["train"] / n - 0.8) < 0.02
+    assert abs(counts["val"] / n - 0.1) < 0.01
+    assert abs(counts["test"] / n - 0.1) < 0.01
+    # stability: identical assignment on re-run and re-partitioning
+    out2 = hash_split(rd.from_arrow(t).repartition(13), fr,
+                      seed=3).to_pandas()
+    m = out.sort_values("doc_id")["split"].to_numpy()
+    m2 = out2.sort_values("doc_id")["split"].to_numpy()
+    assert (m == m2).all()
+    # different seed -> different assignment
+    out3 = hash_split(rd.from_arrow(t), fr, seed=4).to_pandas()
+    m3 = out3.sort_values("doc_id")["split"].to_numpy()
+    assert (m != m3).any()
