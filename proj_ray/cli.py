@@ -322,9 +322,33 @@ def main(argv=None) -> int:
                     help="geod: C format for distance output")
     ap.add_argument("--ray", action="store_true",
                     help="stream the input through ray.data (large files)")
-    ap.add_argument("defn", nargs="+",
+    ap.add_argument("-l", "--list", action="store_true",
+                    help="list the registered operations and exit "
+                         "(reference `proj -l`, proj.cpp)")
+    ap.add_argument("defn", nargs="*",
                     help="+proj=... definition tokens [input file last]")
-    args = ap.parse_args(argv)
+    # intermixed: flags may follow definition tokens (proj's own CLI
+    # allows `+proj=... -I`); plain parse_args stops filling a "*"
+    # positional at the first trailing flag
+    args = ap.parse_intermixed_args(argv)
+
+    if args.list:
+        import inspect
+
+        from proj_ray.ops import REGISTRY
+
+        try:
+            for name in sorted(REGISTRY):
+                cls = REGISTRY[name]
+                mod = inspect.getmodule(cls)
+                doc = (mod.__doc__ or "").strip().splitlines()
+                line = doc[0].rstrip() if doc else ""
+                print(f"{name} : {line}")
+        except BrokenPipeError:
+            pass
+        return 0
+    if not args.defn:
+        ap.error("definition tokens required (or -l to list operations)")
 
     tokens = list(args.defn)
     infile = None

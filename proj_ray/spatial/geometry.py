@@ -285,8 +285,15 @@ def simplify_tracks(ds, key: str = "doc_id", seq: str = "offset",
         y = t.column(y_col).to_numpy(zero_copy_only=False)[order]
         starts, counts = _key_spans(ks)
         keep = np.zeros(len(ks), dtype=bool)
-        for st, ct in zip(starts, counts):   # per-KEY loop (bounded),
-            keep[st:st + ct] = douglas_peucker_mask(  # vertices vectorized
+        # trivial tracks (<= 2 vertices) keep everything — resolved
+        # vectorized so the per-key Python loop below only visits
+        # tracks with actual simplification work (its cost amortizes
+        # over vertices, not keys)
+        triv = counts <= 2
+        if triv.any():
+            keep[np.repeat(triv, counts)] = True
+        for st, ct in zip(starts[~triv], counts[~triv]):
+            keep[st:st + ct] = douglas_peucker_mask(
                 x[st:st + ct], y[st:st + ct], tol)
         return t.take(pa.array(order[keep]))
 

@@ -132,3 +132,12 @@ def test_cs2cs_projjson_argument():
     assert r.returncode == 0, r.stderr
     x, _ = map(float, r.stdout.split()[:2])
     assert abs(x - 500000.0) < 0.01
+
+
+def test_proj_list_operations():
+    r = _run(["proj", "-l"])
+    assert r.returncode == 0
+    lines = r.stdout.strip().splitlines()
+    assert len(lines) >= 180
+    assert any(ln.startswith("tmerc : ") for ln in lines)
+    assert any(ln.startswith("utm : ") for ln in lines)
