@@ -51,6 +51,8 @@ QUERY_NAMES = [
     "pip_polygons",
     "text_stats",
     "doc_repetition",
+    "decontaminate",
+    "doc_logprob",
     "exact_dedup",
     "ann_topk",
     "events_window",

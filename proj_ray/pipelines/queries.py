@@ -882,6 +882,121 @@ FROM base b LEFT JOIN gtop t USING (doc_id)
 """
 
 
+def q_decontaminate(sf_dir: str):
+    """Benchmark decontamination (the published pretraining-hygiene
+    filter): documents with doc_id % 97 == 0 stand in for an eval
+    benchmark; every other document is flagged when it shares ANY
+    token 3-gram with the benchmark.  Benchmark grams build once on
+    the driver (benchmarks are small by definition) and broadcast;
+    the corpus passes once."""
+    import ray
+    import ray.data as rd
+
+    from proj_ray.stages.text import (benchmark_ngram_set,
+                                      contamination_flags)
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def pick(bench_side: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+            m = (ids % 97 == 0)
+            return t.filter(pa.array(m if bench_side else ~m))
+
+        return fn
+
+    bench_rows = ds.map_batches(pick(True),
+                                batch_format="pyarrow").take_all()
+    bench = benchmark_ngram_set([r["text"] for r in bench_rows], n=3)
+    bench_ref = ray.put(bench)
+    corpus = ds.map_batches(pick(False), batch_format="pyarrow")
+    return contamination_flags(corpus, bench_ref, n=3)
+
+
+SQL_DECONTAMINATE = """
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS l FROM documents
+),
+bgrams AS (
+    SELECT DISTINCT l[i] || ' ' || l[i + 1] || ' ' || l[i + 2] AS g
+    FROM toks, LATERAL (SELECT unnest(range(1, len(l) - 1)) AS i)
+    WHERE doc_id % 97 = 0
+),
+dgrams AS (
+    SELECT doc_id, l[i] || ' ' || l[i + 1] || ' ' || l[i + 2] AS g
+    FROM toks, LATERAL (SELECT unnest(range(1, len(l) - 1)) AS i)
+    WHERE doc_id % 97 != 0
+),
+hits AS (
+    SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+    FROM dgrams d JOIN bgrams b USING (g) GROUP BY d.doc_id
+)
+SELECT t.doc_id, coalesce(h.n_hits, 0) > 0 AS contaminated,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits
+FROM (SELECT doc_id FROM documents WHERE doc_id % 97 != 0) t
+LEFT JOIN hits h USING (doc_id)
+"""
+
+
+def q_doc_logprob(sf_dir: str):
+    """Unigram language-model quality score: per document, the mean
+    negative log-probability of its tokens under Laplace-smoothed
+    corpus frequencies — the classic LM quality filter.  One corpus
+    pass builds the token frequency table (combine tree; the table is
+    driver-broadcast for scoring, same contract as TF-IDF's df), a
+    second stateless pass scores."""
+    import ray
+    import ray.data as rd
+
+    from proj_ray.stages.agg import tree_aggregate
+    from proj_ray.stages.text import unigram_logprob
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        from proj_ray.stages.hashing import rolling_hash_batch
+
+        toks = pc.split_pattern(pc.fill_null(t.column("text"), ""), " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        h = rolling_hash_batch(toks.flatten())
+        u, c = np.unique(h, return_counts=True)
+        return pa.table({"tok": pa.array(u),
+                         "c": pa.array(c.astype(np.int64))})
+
+    freq_ds = tree_aggregate(ds.map_batches(partial,
+                                            batch_format="pyarrow"),
+                             ["tok"], [("c", "sum")], fanout=8,
+                             max_keys=None)
+    freq = pa.concat_tables(ray.get(freq_ds.to_arrow_refs()),
+                            promote_options="default")
+    vocab = freq.column("tok").to_numpy(zero_copy_only=False)
+    cnts = freq.column("c").to_numpy(zero_copy_only=False)
+    order = np.argsort(vocab)
+    vocab, cnts = vocab[order], cnts[order]
+    total = int(cnts.sum())
+    freq_ref = ray.put((vocab.astype(np.uint64), cnts))
+    return unigram_logprob(ds, freq_ref, total_tokens=total,
+                           alpha=1.0, vocab_size=len(vocab))
+
+
+SQL_DOC_LOGPROB = """
+WITH toks AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+    FROM documents
+),
+freq AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+tot AS (SELECT sum(c) AS t, count(*) AS v FROM freq)
+SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+       round(avg(-ln((f.c + 1.0) / (tot.t + 1.0 * tot.v))), 9)
+           AS mean_nll
+FROM toks d JOIN freq f USING (tok), tot
+GROUP BY d.doc_id
+"""
+
+
 def q_text_stats(sf_dir: str):
     import ray.data as rd
 
@@ -3732,6 +3847,8 @@ def build_queries():
         "geodesic_pairs": q_geodesic_pairs,
         "text_stats": q_text_stats,
         "doc_repetition": q_doc_repetition,
+        "decontaminate": q_decontaminate,
+        "doc_logprob": q_doc_logprob,
         "exact_dedup": q_exact_dedup,
         "ann_topk": q_ann_topk,
         "events_window": q_events_window,
@@ -3829,6 +3946,8 @@ def build_oracles():
         "radius_join": _sql_radius_join(),
         "text_stats": SQL_TEXT_STATS,
         "doc_repetition": SQL_DOC_REPETITION,
+        "decontaminate": SQL_DECONTAMINATE,
+        "doc_logprob": SQL_DOC_LOGPROB,
         "exact_dedup": SQL_EXACT_DEDUP,
         "ann_topk": SQL_ANN_TOPK,
         "events_window": SQL_EVENTS_WINDOW,

@@ -204,3 +204,126 @@ def repetition_stats_batch(batch: pa.Table) -> pa.Table:
         "top2gram_count": pa.array(top2),
         "top2gram_frac": pa.array(np.round(top2_frac, 9)),
     })
+
+
+def benchmark_ngram_set(texts, n: int = 3) -> np.ndarray:
+    """Sorted unique token-n-gram hashes of a benchmark document list
+    (driver-side: benchmarks are small by definition)."""
+    from proj_ray.stages.hashing import rolling_hash_batch
+
+    grams = []
+    PHI = np.uint64(0x9E3779B97F4A7C15)
+    for text in texts:
+        toks = pa.array((text or "").split(" "))
+        h = rolling_hash_batch(toks)
+        if len(h) < n:
+            continue
+        g = h[: len(h) - n + 1].copy()
+        for k in range(1, n):
+            g = (g * PHI) ^ h[k: len(h) - n + 1 + k]
+        grams.append(g)
+    if not grams:
+        return np.zeros(0, dtype=np.uint64)
+    return np.unique(np.concatenate(grams))
+
+
+def contamination_flags(ds, bench_ref, n: int = 3,
+                        text_col: str = "text",
+                        id_col: str = "doc_id"):
+    """Benchmark decontamination: flag every corpus document sharing
+    at least one token n-gram with the broadcast benchmark set (the
+    published pretraining-hygiene filter, e.g. GPT-3 appendix C /
+    Gopher app. A: 'n-gram overlap with eval sets').
+
+    One corpus pass: per batch, the document token stream hashes once
+    (rolling-hash over the flattened token column), n-gram hashes form
+    by shifted mixing, and membership resolves with one searchsorted
+    against the per-worker cached benchmark set.  Output: (id,
+    contaminated, n_hits)."""
+    import pyarrow.compute as pc
+
+    from proj_ray.stages.hashing import rolling_hash_batch
+    from proj_ray.stages.worker_cache import get_broadcast
+
+    PHI = np.uint64(0x9E3779B97F4A7C15)
+
+    def flag(t: pa.Table) -> pa.Table:
+        bench = get_broadcast(bench_ref)
+        text = pc.fill_null(t.column(text_col), "")
+        toks = pc.split_pattern(text, " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten()
+        off = toks.offsets.to_numpy(zero_copy_only=False)
+        counts = np.diff(off)
+        h = rolling_hash_batch(flat)
+        n_docs = len(t)
+        hits = np.zeros(n_docs, dtype=np.int64)
+        if len(h) >= n and len(bench):
+            # n-gram hashes at every position, then invalidate the
+            # ones that straddle a document boundary
+            m = len(h) - n + 1
+            g = h[:m].copy()
+            for k in range(1, n):
+                g = (g * PHI) ^ h[k: m + k]
+            pos = np.arange(m)
+            doc_idx = np.searchsorted(off, pos, side="right") - 1
+            in_doc = pos + n <= off[doc_idx + 1]
+            p = np.searchsorted(bench, g)
+            pc_ = np.minimum(p, len(bench) - 1)
+            member = (bench[pc_] == g) & in_doc
+            np.add.at(hits, doc_idx[member], 1)
+        return pa.table({
+            id_col: t.column(id_col),
+            "contaminated": pa.array(hits > 0),
+            "n_hits": pa.array(hits),
+        })
+
+    return ds.map_batches(flag, batch_format="pyarrow")
+
+
+def unigram_logprob(ds, freq_ref, total_tokens: int,
+                    text_col: str = "text", id_col: str = "doc_id",
+                    alpha: float = 1.0, vocab_size: int | None = None):
+    """Per-document mean unigram negative log-probability — the
+    classic LM-score quality filter (documents far from the corpus
+    distribution score high).  Token probabilities are Laplace-
+    smoothed corpus frequencies: p(w) = (c(w) + alpha) /
+    (total + alpha * V).  `freq_ref` broadcasts the (sorted token
+    hashes, counts) table built by one corpus pass."""
+    import pyarrow.compute as pc
+
+    from proj_ray.stages.hashing import rolling_hash_batch
+    from proj_ray.stages.worker_cache import get_broadcast
+
+    def score(t: pa.Table) -> pa.Table:
+        vocab, cnts = get_broadcast(freq_ref)
+        V = vocab_size if vocab_size is not None else len(vocab)
+        denom = float(total_tokens) + alpha * V
+        text = pc.fill_null(t.column(text_col), "")
+        toks = pc.split_pattern(text, " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten()
+        off = toks.offsets.to_numpy(zero_copy_only=False)
+        counts = np.diff(off)
+        h = rolling_hash_batch(flat)
+        if len(h):
+            p = np.searchsorted(vocab, h)
+            pc_ = np.minimum(p, max(len(vocab) - 1, 0))
+            c = np.where((len(vocab) > 0) & (vocab[pc_] == h),
+                         cnts[pc_] if len(vocab) else 0, 0)
+            nll = -np.log((c + alpha) / denom)
+            doc_idx = np.repeat(np.arange(len(t)), counts)
+            tot = np.bincount(doc_idx, weights=nll, minlength=len(t))
+        else:
+            tot = np.zeros(len(t))
+        with np.errstate(invalid="ignore", divide="ignore"):
+            mean = np.where(counts > 0, tot / counts, 0.0)
+        return pa.table({
+            id_col: t.column(id_col),
+            "n_tok": pa.array(counts.astype(np.int64)),
+            "mean_nll": pa.array(np.round(mean, 9)),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow")

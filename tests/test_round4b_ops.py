@@ -195,3 +195,47 @@ def test_keyed_rolling_mean_matches_pandas(ray_session):
     want = want.sort_values("id").reset_index(drop=True)
     np.testing.assert_allclose(out["rmean"], want["rmean"],
                                atol=1e-12)
+
+
+def test_contamination_flags_hand_case(ray_session):
+    import ray
+    import ray.data as rd
+
+    from proj_ray.stages.text import (benchmark_ngram_set,
+                                      contamination_flags)
+
+    bench = benchmark_ngram_set(["the quick brown fox jumps"], n=3)
+    corpus = pa.table({
+        "doc_id": [1, 2, 3],
+        "text": ["a quick brown fox here",       # "quick brown fox"
+                 "the quick red fox jumps",      # no shared 3-gram
+                 "brown fox jumps high"],        # "brown fox jumps"
+    })
+    out = {r["doc_id"]: (r["contaminated"], r["n_hits"])
+           for r in contamination_flags(
+               rd.from_arrow(corpus), ray.put(bench),
+               n=3).take_all()}
+    assert out[1] == (True, 1)
+    assert out[2] == (False, 0)
+    assert out[3] == (True, 1)
+
+
+def test_contamination_no_cross_doc_grams(ray_session):
+    """An n-gram spanning two documents in the same batch must NOT
+    count (boundary invalidation)."""
+    import ray
+
+    from proj_ray.stages.text import (benchmark_ngram_set,
+                                      contamination_flags)
+
+    # bench gram "x y z"; doc 1 ends with "x y", doc 2 starts with "z"
+    bench = benchmark_ngram_set(["x y z"], n=3)
+    corpus = pa.table({"doc_id": [1, 2],
+                       "text": ["a x y", "z b c"]})
+    import ray.data as rd
+
+    out = {r["doc_id"]: r["n_hits"]
+           for r in contamination_flags(
+               rd.from_arrow(corpus), ray.put(bench),
+               n=3).take_all()}
+    assert out == {1: 0, 2: 0}
