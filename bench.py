@@ -38,6 +38,7 @@ QUERY_NAMES = [
     "projjson_project",
     "poly_area",
     "poly_area_sphere",
+    "poly_area_geodesic",
     "doc_track_length",
     "doc_track_bearing",
     "poly_perimeter",

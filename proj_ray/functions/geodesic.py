@@ -33,28 +33,95 @@ def _norm2(s, c):
     return s / r, c / r
 
 
+def _rem360(x):
+    """IEEE nearest remainder by 360 (ties to even), in [-180, 180]."""
+    x = np.asarray(x, dtype=np.float64)
+    return x - 360.0 * np.round(x / 360.0)
+
+
 def _ang_normalize(x):
-    y = np.remainder(x, 360.0)
-    y = np.where(y > 180.0, y - 360.0, y)
-    y = np.where(y <= -180.0, y + 360.0, y)
-    return y
+    """Reduce to [-180, 180] keeping the INPUT's sign on the +/-180
+    boundary (reference geodesic.c AngNormalize) — a floor-mod loses
+    sub-ulp magnitudes near 0 (mod(-1e-14, 360) -> 360 -> 0), which
+    flips lonsign/transit decisions in the polygon-area bookkeeping."""
+    y = _rem360(x)
+    return np.where(np.abs(y) == 180.0, np.copysign(180.0, x), y)
+
+
+def _sum_err(u, v):
+    """Two-sum: s = fl(u+v) and the exact residual t = u+v-s."""
+    s = u + v
+    up = s - v
+    vpp = s - up
+    up = up - u
+    vpp = vpp - v
+    return s, -(up + vpp)
 
 
 def _ang_diff(x, y):
-    return _ang_normalize(_ang_normalize(y) - _ang_normalize(x))
+    """Exact angle difference y - x in [-180, 180]: two-sum residuals
+    decide the SIGN on the 0 / +/-180 boundaries (reference
+    geodesic.c AngDiff — the 'Planimeter lon12 rounding bug' fix).  A
+    plain normalized subtraction rounds AngDiff(180, 1e-14) to +180,
+    flipping the geodesic direction choice and transit parity."""
+    return _ang_diff_err(x, y)[0]
 
 
 def _sincosd(x):
-    """sin/cos of an angle in degrees, exact at quadrant boundaries."""
-    r = np.remainder(np.asarray(x, dtype=np.float64), 360.0)
-    q = np.floor(r / 90.0 + 0.5)
-    r = r - 90.0 * q
-    q = (q.astype(np.int64)) % 4
+    """sin/cos of an angle in degrees, exact at quadrant boundaries
+    and sign-preserving at zero (reference geodesic.c sincosdx): a
+    floor-mod reduction turns sin(-1e-15 deg) into +0, which flips
+    the alp12 branch in the polygon-area excess."""
+    x = np.asarray(x, dtype=np.float64)
+    q = np.round(x / 90.0)
+    r = np.radians(x - 90.0 * q)
+    s, c = np.sin(r), np.cos(r)
+    qm = q.astype(np.int64) & 3
+    sinx = np.choose(qm, [s, c, -s, -c])
+    cosx = np.choose(qm, [c, -s, -c, s])
+    sinx = np.where(sinx == 0, np.copysign(np.abs(sinx), x), sinx)
+    return sinx + 0.0, cosx + 0.0
+
+
+def _ang_round(x):
+    """Round tiny angles (< 1/16 deg) to suppress below-(z*eps) dirt
+    (reference geodesic.c AngRound)."""
+    z = 1.0 / 16.0
+    y = np.abs(x)
+    w = z - y
+    y = np.where(w > 0, z - w, y)
+    return np.copysign(y, x)
+
+
+def _sincosde(x, t):
+    """sin/cos of (x + t) degrees where |t| is a sub-ulp residual of
+    x: the quadrant comes from x, the residual perturbs the reduced
+    argument (reference geodesic.c sincosde) — this is what lets a
+    1e-14-degree longitude offset pick the correct near-antipodal
+    geodesic mirror."""
+    q = np.round(np.asarray(x, dtype=np.float64) / 90.0)
+    r = x - 90.0 * q
+    r = _ang_round(r + t)
     rr = np.radians(r)
     s, c = np.sin(rr), np.cos(rr)
-    sinx = np.choose(q, [s, c, -s, -c])
-    cosx = np.choose(q, [c, -s, -c, s])
+    qm = q.astype(np.int64) & 3
+    sinx = np.choose(qm, [s, c, -s, -c])
+    cosx = np.choose(qm, [c, -s, -c, s])
+    sinx = np.where(sinx == 0, np.copysign(sinx, x), sinx)
     return sinx + 0.0, cosx + 0.0
+
+
+def _ang_diff_err(x, y):
+    """(_ang_diff value, two-sum residual t) — geodesic.c AngDiff with
+    its e output."""
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    d, t = _sum_err(_rem360(-x), _rem360(y))
+    d, t = _sum_err(_rem360(d), t)
+    boundary = (d == 0) | (np.abs(d) == 180.0)
+    sign_src = np.where(t == 0, y - x, -t)
+    d = np.where(boundary, np.copysign(np.abs(d), sign_src), d)
+    return d, t
 
 
 def _atan2d(y, x):
@@ -207,6 +274,24 @@ class Geodesic:
         self.C3x = _C3coeff(self.n)
         self.etol2 = 0.1 * _TOL2 / np.sqrt(
             max(0.001, abs(f)) * min(1.0, 1 - f / 2) / 2)
+        self.C4x = _C4coeff(self.n)
+        self.c2 = _geodesic_c2(self.a, self.b, self.e2)
+
+    def _C4f(self, eps):
+        """Per-row C4 cosine-series coefficients at eps (list of nC4
+        arrays) — geodesic.c C4f."""
+        c4 = []
+        o = 0
+        mult = np.ones_like(eps)
+        for ell in range(_nC4):
+            m = _nC4 - ell - 1
+            v = np.zeros_like(eps)
+            for j in range(m + 1):
+                v = v * eps + self.C4x[o + j]
+            c4.append(v * mult)
+            o += m + 1
+            mult = mult * eps
+        return c4
 
     def _bet(self, lat):
         sbet, cbet = _sincosd(lat)
@@ -463,10 +548,15 @@ class Geodesic:
         salp1, calp1 = _norm2(salp1, calp1)
         return sig12, salp1, calp1, dnm
 
-    def inverse(self, lat1, lon1, lat2, lon2, extra=False):
+    def inverse(self, lat1, lon1, lat2, lon2, extra=False,
+                area=False):
         """Inverse problem: returns (s12 meters, azi1 deg, azi2 deg);
         with extra=True also (m12, M12, M21) — reduced length and
-        geodesic scales (geod_geninverse outputs)."""
+        geodesic scales; with area=True the tuple gains S12, the
+        geodesic-quadrilateral area (geod_geninverse's area output) —
+        computed in the CANONICAL frame with the swap/lonsign/latsign
+        fixups, where the boundary sign conventions pair correctly
+        with the polygon transit bookkeeping (geodesic.c:955-1017)."""
         lat1, lon1, lat2, lon2 = np.broadcast_arrays(
             *(np.asarray(v, dtype=np.float64)
               for v in (lat1, lon1, lat2, lon2)))
@@ -477,9 +567,10 @@ class Geodesic:
         lon2 = lon2.ravel()
         nrows = lat1.size
 
-        lon12 = _ang_diff(lon1, lon2)
-        lonsign = np.where(lon12 >= 0, 1.0, -1.0)
+        lon12, lon12s = _ang_diff_err(lon1, lon2)
+        lonsign = np.where(np.signbit(lon12), -1.0, 1.0)
         lon12 = lon12 * lonsign
+        lon12s = lon12s * lonsign
         swapp = np.abs(lat1) < np.abs(lat2)
         swsign = np.where(swapp, -1.0, 1.0)
         lonsign = lonsign * swsign  # reference flips lonsign on swap
@@ -501,7 +592,7 @@ class Geodesic:
         dn2 = np.sqrt(1 + self.ep2 * sbet2 * sbet2)
 
         lam12 = np.radians(lon12)
-        slam12, clam12 = _sincosd(lon12)
+        slam12, clam12 = _sincosde(lon12, lon12s)
 
         s12 = np.full(nrows, np.nan)
         m12 = np.full(nrows, np.nan)
@@ -677,6 +768,36 @@ class Geodesic:
             salp2[g] = sa2
             calp2[g] = ca2
 
+        S12 = None
+        if area:
+            # geodesic-quadrilateral area per edge, in the CANONICAL
+            # frame (salp/calp/sbet/cbet as of this point), then the
+            # swapp*lonsign*latsign sign fixup — geodesic.c:955-1017.
+            # The omg12-based short-edge excess variant is skipped
+            # (pure roundoff trim; see polygon_area_perimeter).
+            with np.errstate(all="ignore"):
+                salp0 = salp1 * cbet1
+                calp0 = np.hypot(calp1, salp1 * sbet1)
+                ssig1, csig1 = _norm2(sbet1, calp1 * cbet1)
+                ssig2, csig2 = _norm2(sbet2, calp2 * cbet2)
+                k2 = calp0 * calp0 * self.ep2
+                eps_a = k2 / (2 * (1 + np.sqrt(1 + k2)) + k2)
+                A4 = self.a * self.a * calp0 * salp0 * self.e2
+                c4 = self._C4f(eps_a)
+                B41 = _cos_series(ssig1, csig1, c4)
+                B42 = _cos_series(ssig2, csig2, c4)
+                integral = np.where((calp0 != 0) & (salp0 != 0),
+                                    A4 * (B42 - B41), 0.0)
+                salp12 = salp2 * calp1 - calp2 * salp1
+                calp12 = calp2 * calp1 + salp2 * salp1
+                degc = (salp12 == 0) & (calp12 < 0)
+                salp12 = np.where(degc, _TINY * calp1, salp12)
+                calp12 = np.where(degc, -1.0, calp12)
+                alp12 = np.arctan2(salp12, calp12)
+                S12 = (self.c2 * alp12 + integral) \
+                    * swsign * lonsign * latsign
+                S12 = S12 + 0.0
+
         # undo canonicalization (reference bookkeeping: swap azimuths on
         # point swap; salp *= swapp*lonsign, calp *= swapp*latsign)
         tM = M12.copy()
@@ -693,11 +814,14 @@ class Geodesic:
         calp2 = calp2 * swsign * latsign
         azi1 = _atan2d(salp1, calp1)
         azi2 = _atan2d(salp2, calp2)
+        out = (s12.reshape(shape), azi1.reshape(shape),
+               azi2.reshape(shape))
         if extra:
-            return (s12.reshape(shape), azi1.reshape(shape),
-                    azi2.reshape(shape), m12.reshape(shape),
-                    M12.reshape(shape), M21.reshape(shape))
-        return (s12.reshape(shape), azi1.reshape(shape), azi2.reshape(shape))
+            out = out + (m12.reshape(shape), M12.reshape(shape),
+                         M21.reshape(shape))
+        if area:
+            out = out + (S12.reshape(shape),)
+        return out
 
 
 _CACHE: dict = {}
@@ -721,3 +845,146 @@ def geodesic_inverse(lat1, lon1, lat2, lon2, a=6378137.0,
 
 def geodesic_direct(lat1, lon1, azi1, s12, a=6378137.0, f=1 / 298.257223563):
     return geodesic(a, f).direct(lat1, lon1, azi1, s12)
+
+
+# ---------------------------------------------------------------------------
+# Geodesic polygon area (Karney 2013 §6; reference src/geodesic.c
+# C4coeff:1693, SinCosSeries cos-form:1087, area assembly:960-1017,
+# transit:1749, areareduceA:1861)
+# ---------------------------------------------------------------------------
+
+# C4 series: I4 integrand expansion to 6th order.  Flattened blocks of
+# (numerator-polynomial-in-n coefficients ..., common denominator) for
+# C4[l], eps^j — the published constant table (Karney 2013 eq. 65 /
+# GeographicLib series supplement), laid out exactly as the reference's
+# C4coeff so the block walk below mirrors its o/k loop.
+_C4_COEFF = [
+    # C4[0]: eps^5..eps^0, polynomial order 0..5 in n
+    [97, 15015],
+    [1088, 156, 45045],
+    [-224, -4784, 1573, 45045],
+    [-10656, 14144, -4576, -858, 45045],
+    [64, 624, -4576, 6864, -3003, 15015],
+    [100, 208, 572, 3432, -12012, 30030, 45045],
+    # C4[1]: eps^5..eps^1
+    [1, 9009],
+    [-2944, 468, 135135],
+    [5792, 1040, -1287, 135135],
+    [5952, -11648, 9152, -2574, 135135],
+    [-64, -624, 4576, -6864, 3003, 135135],
+    # C4[2]: eps^5..eps^2
+    [8, 10725],
+    [1856, -936, 225225],
+    [-8448, 4992, -1144, 225225],
+    [-1440, 4160, -4576, 1716, 225225],
+    # C4[3]: eps^5..eps^3
+    [-136, 63063],
+    [1024, -208, 105105],
+    [3584, -3328, 1144, 315315],
+    # C4[4]: eps^5..eps^4
+    [-128, 135135],
+    [-2560, 832, 405405],
+    # C4[5]: eps^5
+    [128, 99099],
+]
+
+_nC4 = 6
+
+
+def _C4coeff(n: float) -> list:
+    """C4x: per-(l, j) numeric coefficients at third flattening n."""
+    out = []
+    for block in _C4_COEFF:
+        num, den = block[:-1], block[-1]
+        v = 0.0
+        for c in num:          # Horner in n, highest order first
+            v = v * n + c
+        out.append(v / den)
+    return out
+
+
+def _cos_series(sinx, cosx, c):
+    """Clenshaw sum of c[l]*cos((2l+1)x), l=0..K-1 (the cos form of
+    SinCosSeries, reference geodesic.c:1087-1108)."""
+    K = len(c)
+    ar = 2 * (cosx - sinx) * (cosx + sinx)
+    k = K
+    if k % 2 == 1:
+        k -= 1
+        y0 = c[k] * np.ones_like(ar)
+    else:
+        y0 = np.zeros_like(ar)
+    y1 = np.zeros_like(ar)
+    while k > 0:
+        y1 = ar * y0 - y1 + c[k - 1]
+        y0 = ar * y1 - y0 + c[k - 2]
+        k -= 2
+    return cosx * (y0 - y1)
+
+
+def _transit(lon1, lon2):
+    """+1/-1 per eastward/westward prime-antimeridian crossing
+    (reference geodesic.c transit:1749-1760), vectorized."""
+    lon12 = _ang_diff(lon1, lon2)
+    l1 = _ang_normalize(lon1)
+    l2 = _ang_normalize(lon2)
+    east = (lon12 > 0) & (((l1 < 0) & (l2 >= 0)) | ((l1 > 0) & (l2 == 0)))
+    west = (lon12 < 0) & (l1 >= 0) & (l2 < 0)
+    return east.astype(np.int64) - west.astype(np.int64)
+
+
+def _geodesic_c2(a: float, b: float, e2: float) -> float:
+    """Authalic radius squared (reference geod_init:307-310)."""
+    import math
+
+    if e2 == 0:
+        ratio = 1.0
+    elif e2 > 0:
+        ratio = math.atanh(math.sqrt(e2)) / math.sqrt(e2)
+    else:
+        ratio = math.atan(math.sqrt(-e2)) / math.sqrt(-e2)
+    return (a * a + b * b * ratio) / 2
+
+
+def polygon_area_perimeter(geod: "Geodesic", lats, lons):
+    """Exact ellipsoidal polygon area + perimeter (the reference's
+    geod_polygonarea): per edge, S12 = c2*(alp2-alp1) + A4*(B42-B41)
+    with the C4 cosine series, accumulated with antimeridian-crossing
+    bookkeeping and reduced to the counter-clockwise-positive
+    representative in (-area0/2, area0/2].
+
+    Returns (area_m2, perimeter_m).  Vectorized: ONE batched inverse
+    solve over all edges.  The alp12 spherical-excess term uses the
+    direct azimuth-difference form for every edge (the reference adds
+    an omg12-based variant for short edges purely to trim roundoff;
+    the absolute error of the direct form is ~c2*2^-52 ~ 0.01 m^2 per
+    vertex, inside every published planimeter tolerance — verified
+    against geodtest.c's pinned cases in tests/test_geodesic.py).
+    """
+    import math
+
+    lats = np.asarray(lats, dtype=np.float64)
+    lons = np.asarray(lons, dtype=np.float64)
+    if len(lats) < 3:
+        return 0.0, 0.0
+    lat1 = lats
+    lon1 = lons
+    lat2 = np.roll(lats, -1)
+    lon2 = np.roll(lons, -1)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        s12, azi1, azi2, S12 = geod.inverse(lat1, lon1, lat2, lon2,
+                                            area=True)
+    perimeter = math.fsum(s12)
+    area = math.fsum(S12)
+    crossings = int(_transit(lon1, lon2).sum())
+
+    area0 = 4 * math.pi * geod.c2
+    area = math.remainder(area, area0)
+    if crossings & 1:
+        area += (area0 / 2) if area < 0 else (-area0 / 2)
+    area = -area  # clockwise accumulation -> counter-clockwise positive
+    if area > area0 / 2:
+        area -= area0
+    elif area <= -area0 / 2:
+        area += area0
+    return area, perimeter

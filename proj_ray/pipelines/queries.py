@@ -1336,6 +1336,20 @@ SELECT doc_id,
 FROM lagged GROUP BY doc_id""")
 
 
+def q_poly_area_geodesic(sf_dir: str):
+    """EXACT ellipsoidal (Karney) polygon area + perimeter per
+    synthetic ring — one batched geodesic inverse solve per partition
+    (spatial/geometry.py geodesic_polygon_area).  Rows-only: the C4
+    series has no SQL twin; the kernel is pinned to the reference's
+    own planimeter cases in tests/test_geodesic.py and cross-checked
+    against the spherical-excess twin in tests/test_geometry.py."""
+    from proj_ray.spatial.geometry import geodesic_polygon_area
+
+    return geodesic_polygon_area(_polygon_vertices_dataset(),
+                                 key="polygon_id", seq="seq",
+                                 lon_col="x", lat_col="y")
+
+
 def q_poly_perimeter(sf_dir: str):
     """Haversine perimeter of each synthetic polygon ring
     (spatial/geometry.py polygon_perimeter) — oracle: the shared
@@ -3830,6 +3844,7 @@ def build_queries():
         "projjson_project": q_projjson_project,
         "poly_area": q_poly_area,
         "poly_area_sphere": q_poly_area_sphere,
+        "poly_area_geodesic": q_poly_area_geodesic,
         "doc_track_length": q_doc_track_length,
         "doc_track_bearing": q_doc_track_bearing,
         "poly_perimeter": q_poly_perimeter,

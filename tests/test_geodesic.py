@@ -103,3 +103,62 @@ def test_sphere_great_circle():
     assert abs(float(s) - R * np.pi / 2) < 1e-6
     s, a1, a2 = g.inverse(10.0, 20.0, 40.0, 20.0)
     assert abs(float(s) - R * np.radians(30.0)) < 1e-6
+
+
+class TestPolygonArea:
+    """Pinned against the reference's geodtest.c planimeter cases
+    (Planimeter0/5/6/12/13/15 values)."""
+
+    def _run(self, pts):
+        import numpy as np
+
+        from proj_ray.functions.geodesic import (geodesic,
+                                                 polygon_area_perimeter)
+
+        p = np.asarray(pts, dtype=float)
+        return polygon_area_perimeter(geodesic(), p[:, 0], p[:, 1])
+
+    def test_planimeter0_pole_encircling(self):
+        area, per = self._run([[89, 0], [89, 90], [89, 180], [89, 270]])
+        assert abs(per - 631819.8745) < 1e-4
+        assert abs(area - 24952305678.0) < 1
+        area, per = self._run([[-89, 0], [-89, 90], [-89, 180],
+                               [-89, 270]])
+        assert abs(per - 631819.8745) < 1e-4
+        assert abs(area + 24952305678.0) < 1
+        area, per = self._run([[0, -1], [-1, 0], [0, 1], [1, 0]])
+        assert abs(per - 627598.2731) < 1e-3
+        assert abs(area - 24619419146.0) < 1
+        area, per = self._run([[90, 0], [0, 0], [0, 90]])
+        assert abs(per - 30022685) < 1.5
+        assert abs(area - 63758202715511.0) < 1
+
+    def test_planimeter5_pole_crossing(self):
+        area, per = self._run([[89, 0.1], [89, 90.1], [89, -179.9]])
+        assert abs(per - 539297) < 1
+        assert abs(area - 12476152838.5) < 1
+
+    def test_planimeter6_hairline_slivers(self):
+        for pts in ([[9, -0.00000000000001], [9, 180], [9, 0]],
+                    [[9, 0.00000000000001], [9, 0], [9, 180]],
+                    [[9, 0.00000000000001], [9, 180], [9, 0]],
+                    [[9, -0.00000000000001], [9, 0], [9, 180]]):
+            area, per = self._run(pts)
+            assert abs(per - 36026861) < 1
+            assert abs(area) < 1
+
+    def test_planimeter12_arctic_circle_degenerate(self):
+        area, per = self._run([[66.562222222, 0], [66.562222222, 180],
+                               [66.562222222, 360]])
+        assert abs(per - 10465729) < 1
+        assert abs(area) < 1
+
+    def test_planimeter13_double_pole_encircle(self):
+        area, per = self._run([[89, -360], [89, -240], [89, -120],
+                               [89, 0], [89, 120], [89, 240]])
+        assert abs(per - 1160741) < 1
+        assert abs(area - 32415230256.0) < 1
+
+    def test_planimeter15_small_triangle(self):
+        area, _ = self._run([[2, 1], [1, 2], [3, 3]])
+        assert abs(area - 18454562325.45119) < 0.5

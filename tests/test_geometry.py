@@ -233,3 +233,54 @@ def test_radius_join_matches_brute(ray_session):
     want = set(zip(qs.tolist(), rows.tolist()))
     got_set = set(zip(got["query_id"].tolist(), got["doc_id"].tolist()))
     assert got_set == want and len(want) > 10
+
+
+def test_geodesic_polygon_area_dataset(ray_session):
+    """Dataset op vs the scalar driver AND the spherical twin."""
+    import ray.data as rd
+
+    from proj_ray.functions.geodesic import (geodesic,
+                                             polygon_area_perimeter)
+    from proj_ray.spatial.geometry import (geodesic_polygon_area,
+                                           spherical_polygon_area)
+
+    rng = np.random.default_rng(12)
+    pid, seq, lons, lats = [], [], [], []
+    rings = {}
+    for p in range(40):
+        clon, clat = rng.uniform(-150, 150), rng.uniform(-60, 60)
+        r = rng.uniform(0.2, 3.0)
+        nv = int(rng.integers(3, 9))
+        ang = np.sort(rng.uniform(0, 2 * np.pi, nv))
+        lon = clon + r * np.cos(ang)
+        lat = clat + r * 0.7 * np.sin(ang)
+        rings[p] = (lat, lon)
+        pid.extend([p] * nv)
+        seq.extend(range(nv))
+        lons.extend(lon)
+        lats.extend(lat)
+    t = pa.table({"polygon_id": np.array(pid, dtype=np.int64),
+                  "seq": np.array(seq, dtype=np.int64),
+                  "lon": np.array(lons), "lat": np.array(lats)})
+    ds = rd.from_arrow(t).repartition(5)
+    got = {r["polygon_id"]: (r["area_m2"], r["perimeter_m"])
+           for r in geodesic_polygon_area(ds).take_all()}
+    g = geodesic()
+    for p, (lat, lon) in rings.items():
+        a, per = polygon_area_perimeter(g, lat, lon)
+        assert got[p][0] == pytest.approx(a, rel=1e-12), p
+        assert got[p][1] == pytest.approx(per, rel=1e-12), p
+    # spherical twin cross-check on a DENSE ring (trapezoid error
+    # vanishes with edge length; what remains is the ~0.3% flattening
+    # effect of the authalic-sphere approximation)
+    ang = np.linspace(0, 2 * np.pi, 144, endpoint=False)
+    dense = pa.table({
+        "polygon_id": np.zeros(144, dtype=np.int64),
+        "seq": np.arange(144, dtype=np.int64),
+        "lon": 12.0 + 2.0 * np.cos(ang),
+        "lat": 47.0 + 1.4 * np.sin(ang),
+    })
+    exact = geodesic_polygon_area(rd.from_arrow(dense)).take_all()[0]
+    sph = spherical_polygon_area(rd.from_arrow(dense)).take_all()[0]
+    assert sph["area_m2"] == pytest.approx(abs(exact["area_m2"]),
+                                           rel=5e-3)
