@@ -114,6 +114,7 @@ QUERY_NAMES = [
     "embedding_centroids",
     "cust_order_profile",
     "lineitem_cube",
+    "orders_gsets",
 ]
 
 

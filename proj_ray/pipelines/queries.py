@@ -2341,6 +2341,60 @@ GROUP BY ROLLUP(l_returnflag, l_linestatus)
 """
 
 
+def q_orders_gsets(sf_dir: str):
+    """Arbitrary GROUP BY GROUPING SETS ((status), (priority)): one
+    corpus pass builds the finest (status, priority) aggregate; each
+    requested set re-aggregates that bounded result
+    (stages/agg.py grouping_sets_from_finest)."""
+    import ray.data as rd
+
+    from proj_ray.stages.agg import (grouping_sets_from_finest,
+                                     tree_aggregate)
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderstatus", "o_orderpriority", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        out = pa.table({
+            "o_orderstatus": t.column("o_orderstatus"),
+            "o_orderpriority": t.column("o_orderpriority"),
+            "total": t.column("o_totalprice"),
+        }).group_by(["o_orderstatus", "o_orderpriority"]).aggregate(
+            [("total", "sum"), ("total", "count")])
+        return out.rename_columns(["o_orderstatus", "o_orderpriority",
+                                   "total", "n_orders"])
+
+    finest = tree_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["o_orderstatus", "o_orderpriority"],
+        [("total", "sum"), ("n_orders", "sum")])
+    gs = grouping_sets_from_finest(
+        finest, ["o_orderstatus", "o_orderpriority"],
+        [("o_orderstatus",), ("o_orderpriority",)],
+        ["total", "n_orders"])
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "o_orderstatus": df["o_orderstatus"],
+            "o_orderpriority": df["o_orderpriority"],
+            "total": np.round(df["total"], 2),
+            "n_orders": df["n_orders"].astype("int64"),
+        })
+
+    return gs.map_batches(fin, batch_format="pandas")
+
+
+SQL_ORDERS_GSETS = """
+SELECT coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+       coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+       round(sum(o_totalprice), 2) AS total,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+"""
+
+
 def q_lineitem_cube(sf_dir: str):
     """GROUP BY CUBE(l_returnflag, l_linestatus): all four grouping
     sets.  Like the ROLLUP twin, one corpus pass builds the finest
@@ -3930,6 +3984,7 @@ def build_queries():
         "media_manifest": q_media_manifest,
         "cust_order_profile": q_cust_order_profile,
         "lineitem_cube": q_lineitem_cube,
+        "orders_gsets": q_orders_gsets,
     }
 
 
@@ -4017,4 +4072,5 @@ def build_oracles():
         "media_manifest": _sql_media_manifest(),
         "cust_order_profile": SQL_CUST_ORDER_PROFILE,
         "lineitem_cube": SQL_LINEITEM_CUBE,
+        "orders_gsets": SQL_ORDERS_GSETS,
     }

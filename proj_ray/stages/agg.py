@@ -126,3 +126,39 @@ def hash_shuffle_aggregate(ds, keys: Sequence[str],
     bucketed = ds.map_batches(add_bucket, batch_format="pyarrow")
     return bucketed.groupby("__bucket").map_groups(
         combine_group, batch_format="pyarrow")
+
+
+def grouping_sets_from_finest(finest_ds, all_keys, sets, agg_cols,
+                              sentinel="ALL"):
+    """Arbitrary SQL GROUPING SETS from the finest-level aggregate:
+    each requested set re-aggregates the (tiny, bounded-key) finest
+    result — sums/counts are re-aggregable, so no extra corpus pass
+    regardless of how many sets are asked for (the generalization of
+    the ROLLUP/CUBE queries' inline logic).  Dropped key columns carry
+    the `sentinel` value."""
+    import pandas as pd
+
+    all_keys = list(all_keys)
+    agg_cols = list(agg_cols)
+    norm_sets = [tuple(s) for s in sets]
+    for s in norm_sets:
+        unknown = set(s) - set(all_keys)
+        if unknown:
+            raise ValueError(f"grouping_sets: unknown keys {unknown}")
+
+    def expand(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for keys in norm_sets:
+            dropped = [k for k in all_keys if k not in keys]
+            if keys:
+                g = df.groupby(list(keys),
+                               as_index=False)[agg_cols].sum()
+            else:
+                g = df[agg_cols].sum().to_frame().T
+            for d in dropped:
+                g[d] = sentinel
+            outs.append(g[all_keys + agg_cols])
+        return pd.concat(outs, ignore_index=True)
+
+    return finest_ds.map_batches(expand, batch_format="pandas",
+                                 batch_size=None)
