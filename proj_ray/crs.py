@@ -224,6 +224,7 @@ class CRS:
     unit_to_meter: float = 1.0                  # projected/geocentric CS unit
     angular_unit_deg: float = 1.0               # geographic CS unit, in deg
     axis_lat_first: bool = False                # geographic axis order
+    vert_to_meter: Optional[float] = None       # COMPOUNDCRS vertical unit
 
     # ------------------------------------------------------------------
     # constructors
@@ -297,6 +298,11 @@ class CRS:
                 tokens.append("units=m")
             else:
                 tokens.append(f"to_meter={self.unit_to_meter!r}")
+        if self.vert_to_meter is not None:
+            if abs(self.vert_to_meter - 1.0) < 1e-12:
+                tokens.append("vunits=m")
+            else:
+                tokens.append(f"vto_meter={self.vert_to_meter!r}")
         return "+" + " +".join(tokens)
 
     def to_operation(self):
@@ -920,6 +926,35 @@ def _geographic_axis_lat_first(crs_node: WktNode) -> bool:
 
 def _crs_from_wkt_node(node: WktNode) -> CRS:
     kw = node.name.upper()
+    if kw in ("COMPOUNDCRS", "COMPD_CS"):
+        # horizontal CRS + VERTCRS with a linear unit -> the engine's
+        # +vunits/+vto_meter vertical scaling (geoid models are a
+        # datum concern, out of scope like other grid catalogs)
+        children = [v for v in node.values if isinstance(v, WktNode)]
+        horiz = next((c for c in children
+                      if c.name.upper() in (
+                          "PROJCRS", "PROJECTEDCRS", "PROJCS",
+                          "GEOGCRS", "GEOGRAPHICCRS", "GEOGCS",
+                          "BOUNDCRS")), None)
+        vert = next((c for c in children
+                     if c.name.upper() in ("VERTCRS", "VERTICALCRS",
+                                           "VERT_CS")), None)
+        if horiz is None:
+            raise ProjError("COMPOUNDCRS without a horizontal CRS")
+        crs = _crs_from_wkt_node(horiz)
+        if vert is not None:
+            unit = vert.child("LENGTHUNIT", "UNIT")
+            if unit is None:
+                for a in vert.children("AXIS"):
+                    unit = a.child("LENGTHUNIT", "UNIT")
+                    if unit is not None:
+                        break
+            crs.vert_to_meter = _unit_factor(unit, 1.0)
+            crs.name = node.str0()
+        return crs
+    if kw in ("VERTCRS", "VERTICALCRS", "VERT_CS"):
+        raise ProjError("standalone vertical CRS carries no horizontal "
+                        "operation; wrap it in a COMPOUNDCRS")
     if kw == "BOUNDCRS":
         src = node.child("SOURCECRS")
         tr = node.child("ABRIDGEDTRANSFORMATION", "TRANSFORMATION")
@@ -1083,6 +1118,25 @@ def _parse_datum_projjson(obj: dict) -> Datum:
 
 def _crs_from_projjson(obj: dict) -> CRS:
     t = obj.get("type")
+    if t == "CompoundCRS":
+        comps = obj.get("components", [])
+        horiz = next((c for c in comps
+                      if c.get("type") in ("ProjectedCRS",
+                                           "GeographicCRS",
+                                           "GeodeticCRS", "BoundCRS")),
+                     None)
+        vert = next((c for c in comps
+                     if c.get("type") == "VerticalCRS"), None)
+        if horiz is None:
+            raise ProjError("CompoundCRS without a horizontal CRS")
+        crs = _crs_from_projjson(horiz)
+        if vert is not None:
+            axes = (vert.get("coordinate_system") or {}).get("axis") \
+                or []
+            unit = axes[0].get("unit") if axes else "metre"
+            crs.vert_to_meter = _pj_unit_factor(unit, "linear")
+            crs.name = obj.get("name", crs.name)
+        return crs
     if t == "BoundCRS":
         crs = _crs_from_projjson(obj["source_crs"])
         tr = obj.get("transformation", {})

@@ -535,3 +535,46 @@ def test_unsupported_method_is_loud():
                              "Space Oblique Nonsense")
     with pytest.raises(ProjError, match="unsupported projection method"):
         CRS.from_wkt(wkt)
+
+
+def test_compound_crs_vertical_unit():
+    wkt = """
+COMPOUNDCRS["UTM32 + NAVD88-ish height (ftUS)",
+""" + WKT2_UTM32.strip() + """,
+  VERTCRS["height (ftUS)",
+    VDATUM["Some vertical datum"],
+    CS[vertical,1],AXIS["gravity-related height (H)",up],
+    LENGTHUNIT["US survey foot",0.304800609601219]]]
+"""
+    crs = CRS.from_wkt(wkt)
+    s = crs.to_proj_string()
+    assert "vto_meter=0.304800609601219" in s
+    # z scaling is live (PROJ semantics: the PROJECTED side carries
+    # vunits, so a 100 m geodetic height comes out in ftUS)
+    op = create_operation(s)
+    c = transform_arrays(op, np.array([9.0]), np.array([52.0]),
+                         z=np.array([100.0]))
+    ref = create_operation("+proj=utm +zone=32 +ellps=WGS84")
+    cr = transform_arrays(ref, np.array([9.0]), np.array([52.0]),
+                          z=np.array([100.0]))
+    np.testing.assert_allclose(c.x, cr.x, atol=1e-6)
+    np.testing.assert_allclose(c.z * 0.304800609601219, cr.z,
+                               atol=1e-9)
+
+
+def test_compound_projjson():
+    base = CRS.from_wkt(WKT2_UTM32).to_projjson()
+    j = {"type": "CompoundCRS", "name": "utm + height",
+         "components": [base, {
+             "type": "VerticalCRS", "name": "height",
+             "datum": {"type": "VerticalReferenceFrame", "name": "x"},
+             "coordinate_system": {
+                 "subtype": "vertical",
+                 "axis": [{"name": "Gravity-related height",
+                           "abbreviation": "H", "direction": "up",
+                           "unit": {"type": "LinearUnit",
+                                    "name": "foot",
+                                    "conversion_factor": 0.3048}}]}}]}
+    crs = CRS.from_projjson(j)
+    assert crs.vert_to_meter == 0.3048
+    assert "vto_meter=0.3048" in crs.to_proj_string()
