@@ -212,3 +212,93 @@ def misra_gries(ds, text_col: str, k: int, pattern: str = " "):
     return ds.map_batches(partial, batch_format="pyarrow") \
         .repartition(1).map_batches(combine, batch_format="pyarrow",
                                     batch_size=None)
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan 2005) — the point-estimate
+# member of the mergeable-sketch family (HLL = distinct counts,
+# Misra-Gries = top-k shortlist, CM = per-item frequency estimates)
+# ---------------------------------------------------------------------------
+
+_CM_SEEDS = np.array([0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F,
+                      0x165667B19E3779F9, 0x27D4EB2F165667C5,
+                      0x85EBCA77C2B2AE63], dtype=np.uint64)
+
+
+def _cm_cols(hashes: np.ndarray, width: int) -> np.ndarray:
+    """(depth, n) column indices for pre-hashed uint64 items: one
+    multiply-shift row hash per depth."""
+    h = hashes.astype(np.uint64)
+    rows = [(h * s) >> np.uint64(64 - int(width).bit_length() + 1)
+            for s in _CM_SEEDS]
+    return np.stack([(r % np.uint64(width)).astype(np.int64)
+                     for r in rows])
+
+
+def count_min_build(ds, text_col: str, width: int = 4096,
+                    depth: int = 5, pattern: str = " "):
+    """Build a Count-Min sketch of token frequencies: each batch fills
+    a local (depth, width) counter matrix (pure vectorized adds), a
+    fan-in level sums partials pairwise, and the driver folds
+    O(fanout) matrices — the same exchange shape as bloom_build.
+    Returns (sketch ndarray, total_tokens)."""
+    import ray
+
+    if depth > len(_CM_SEEDS):
+        raise ValueError(f"depth <= {len(_CM_SEEDS)}")
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        from proj_ray.stages.hashing import rolling_hash_batch
+
+        toks = pc.split_pattern(pc.fill_null(t.column(text_col), ""),
+                                pattern)
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        h = rolling_hash_batch(toks.flatten())
+        m = np.zeros((depth, width), dtype=np.int64)
+        cols = _cm_cols(h, width)
+        for d in range(depth):
+            np.add.at(m[d], cols[d], 1)
+        return pa.table({"m": pa.array([m.tobytes()],
+                                       type=pa.binary()),
+                         "n": pa.array([len(h)], type=pa.int64())})
+
+    def combine(t: pa.Table) -> pa.Table:
+        mats = [np.frombuffer(b.as_py(), dtype=np.int64)
+                .reshape(depth, width)
+                for b in t.column("m")]
+        tot = int(np.sum(t.column("n").to_numpy(zero_copy_only=False)))
+        m = np.sum(mats, axis=0) if mats else np.zeros((depth, width),
+                                                       dtype=np.int64)
+        return pa.table({"m": pa.array([m.tobytes()],
+                                       type=pa.binary()),
+                         "n": pa.array([tot], type=pa.int64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=8192)
+    fanin = parts.repartition(8).map_batches(combine,
+                                             batch_format="pyarrow",
+                                             batch_size=None)
+    final = pa.concat_tables(ray.get(fanin.to_arrow_refs()),
+                             promote_options="default")
+    mats = [np.frombuffer(b.as_py(), dtype=np.int64)
+            .reshape(depth, width) for b in final.column("m")]
+    sketch = np.sum(mats, axis=0)
+    total = int(np.sum(final.column("n").to_numpy(
+        zero_copy_only=False)))
+    return sketch, total
+
+
+def count_min_query(sketch: np.ndarray, tokens) -> np.ndarray:
+    """Point-estimate token counts (upper-bound estimator: min over
+    depth rows; est in [true, true + eps*N] w.p. 1-delta where
+    eps = e/width, delta = exp(-depth))."""
+    from proj_ray.stages.hashing import rolling_hash_batch
+
+    depth, width = sketch.shape
+    h = rolling_hash_batch(pa.array(list(tokens)))
+    cols = _cm_cols(h, width)
+    ests = np.stack([sketch[d, cols[d]] for d in range(depth)])
+    return ests.min(axis=0)

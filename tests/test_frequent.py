@@ -86,3 +86,36 @@ def test_tfidf_matches_sklearn_style_reference():
         assert len(got) == 1
         assert abs(got["tfidf"].iloc[0] - want) < 1e-9
     assert (out["tf"] >= 2).all()
+
+
+def test_count_min_bounds(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from proj_ray.stages.frequent import (count_min_build,
+                                          count_min_query)
+
+    # zipf-ish corpus with known counts
+    rng = np.random.default_rng(2)
+    vocab = [f"tok{i}" for i in range(500)]
+    probs = 1.0 / np.arange(1, 501)
+    probs /= probs.sum()
+    docs = []
+    true = {v: 0 for v in vocab}
+    for _ in range(400):
+        toks = rng.choice(vocab, size=50, p=probs)
+        for tk in toks:
+            true[tk] += 1
+        docs.append(" ".join(toks))
+    ds = rd.from_arrow(pa.table({"text": docs})).repartition(6)
+    sketch, total = count_min_build(ds, "text", width=2048, depth=5)
+    assert total == 400 * 50
+    query = [f"tok{i}" for i in (0, 1, 5, 50, 499)]
+    est = count_min_query(sketch, query)
+    eps_n = np.e / 2048 * total
+    for q, e in zip(query, est):
+        assert e >= true[q]                 # never underestimates
+        assert e <= true[q] + eps_n         # CM guarantee
+    # top token is estimated tightly on this width
+    assert est[0] <= true["tok0"] * 1.05 + 10
