@@ -111,6 +111,7 @@ QUERY_NAMES = [
     "doc_regex",
     "media_manifest",
     "video_frames",
+    "media_resize",
     "embedding_centroids",
     "cust_order_profile",
     "lineitem_cube",

@@ -3448,6 +3448,33 @@ GROUP BY label, i
 """
 
 
+def q_media_resize(sf_dir: str):
+    """Multimodal image path: media spans -> synthetic payloads ->
+    actor-pool nearest-neighbor resize to 16x16 thumbnails with a
+    mean-luma feature (rows-only; byte->pixel view is the documented
+    stub, the index math and plumbing are real)."""
+    import pyarrow.compute as pc
+
+    from proj_ray.docs.synth import doc_dataset_from_documents
+    from proj_ray.stages.media import ImageResizer, synth_media_batch
+
+    def media_refs(batch: pa.Table) -> pa.Table:
+        spans = batch.column("spans")
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        flat = spans.flatten()
+        mask = pc.equal(flat.field("kind"), "media")
+        return pa.table({"media_ref": flat.field("media_ref")
+                        .filter(mask)})
+
+    docs = doc_dataset_from_documents(sf_dir)
+    out = docs.map_batches(media_refs, batch_format="pyarrow") \
+        .map_batches(synth_media_batch, batch_format="pyarrow") \
+        .map_batches(ImageResizer, batch_format="pandas",
+                     batch_size=1024, concurrency=2)
+    return out.drop_columns(["thumb"])
+
+
 def q_media_features(sf_dir: str):
     """Multimodal plumbing: media spans -> synthetic payloads ->
     actor-pool 'decode' -> compact features (rows-only)."""
@@ -3972,6 +3999,7 @@ def build_queries():
         "ann_ivf": q_ann_ivf,
         "media_features": q_media_features,
         "video_frames": q_video_frames,
+        "media_resize": q_media_resize,
         "embedding_centroids": q_embedding_centroids,
         "audio_chunks": q_audio_chunks,
         "kmeans_clusters": q_kmeans_clusters,

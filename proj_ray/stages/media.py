@@ -175,3 +175,49 @@ def media_pipeline(doc_ds, concurrency: int = 2):
     return media.map_batches(
         FakeImageDecoder, batch_format="pandas", batch_size=1024,
         concurrency=concurrency)
+
+
+class ImageResizer:
+    """Image resize stage: nearest-neighbor downsample of each image
+    payload to `target` x `target` (actor-pool shape; batch in, batch
+    out).  The byte->pixel view is the documented stub (payload bytes
+    stand in for an 8-bit luma grid of the manifest's width x height);
+    the index math, fan-in plumbing and output layout are the real
+    product — a production deployment swaps the byte view for a codec
+    and nothing else changes."""
+
+    def __init__(self, target: int = 16):
+        self.target = target
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        imgs = batch[batch["media_type"] == "image"]
+        t = self.target
+        if len(imgs) == 0:
+            return pd.DataFrame({
+                "media_ref": pd.Series([], dtype="string"),
+                "out_w": pd.Series([], dtype=np.int64),
+                "out_h": pd.Series([], dtype=np.int64),
+                "mean_luma": pd.Series([], dtype=np.float64),
+                "thumb": pd.Series([], dtype=object),
+            })
+        refs, ws, hs, means, thumbs = [], [], [], [], []
+        for ref, payload, w, h in zip(imgs["media_ref"],
+                                      imgs["payload"],
+                                      imgs["width"], imgs["height"]):
+            w = max(int(w), 1)
+            h = max(int(h), 1)
+            buf = np.frombuffer(payload, dtype=np.uint8)
+            grid = np.resize(buf, (h, w))  # stub luma plane
+            yi = np.minimum((np.arange(t) * h) // t, h - 1)
+            xi = np.minimum((np.arange(t) * w) // t, w - 1)
+            thumb = grid[np.ix_(yi, xi)]
+            refs.append(ref)
+            ws.append(t)
+            hs.append(t)
+            means.append(float(thumb.mean()))
+            thumbs.append(thumb.tobytes())
+        return pd.DataFrame({"media_ref": refs,
+                             "out_w": np.array(ws, dtype=np.int64),
+                             "out_h": np.array(hs, dtype=np.int64),
+                             "mean_luma": np.round(means, 6),
+                             "thumb": thumbs})

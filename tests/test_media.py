@@ -77,3 +77,28 @@ def test_audio_chunker_no_audio_keeps_schema():
     assert len(out) == 0
     assert list(out.columns) == ["media_ref", "chunk_idx",
                                  "chunk_ts_ms", "rms"]
+
+
+def test_image_resizer_known_grid():
+    import numpy as np
+    import pandas as pd
+
+    from proj_ray.stages.media import ImageResizer
+
+    # 4x4 gradient grid downsampled to 2x2 nearest-neighbor
+    grid = np.arange(16, dtype=np.uint8).reshape(4, 4)
+    b = pd.DataFrame({
+        "media_ref": ["img-1", "aud-1"],
+        "media_type": ["image", "audio"],
+        "payload": [grid.tobytes(), b"\x00" * 10],
+        "width": [4, 0],
+        "height": [4, 0],
+        "duration_ms": [0, 1000],
+    })
+    out = ImageResizer(target=2)(b)
+    assert len(out) == 1  # audio rows pass through untouched
+    thumb = np.frombuffer(out["thumb"].iloc[0],
+                          dtype=np.uint8).reshape(2, 2)
+    # rows 0,2 and cols 0,2 of the 4x4 grid
+    np.testing.assert_array_equal(thumb, [[0, 2], [8, 10]])
+    assert out["mean_luma"].iloc[0] == (0 + 2 + 8 + 10) / 4
