@@ -908,6 +908,15 @@ def q_decontaminate(sf_dir: str):
 
     bench_rows = ds.map_batches(pick(True),
                                 batch_format="pyarrow").take_all()
+    # scale gate: a benchmark is a SMALL fixed eval set by definition
+    # (production reads it from its own table); the modulo selection
+    # here is the sandbox stand-in, so refuse corpus-sized pulls
+    # rather than silently materializing one on the driver
+    if len(bench_rows) > 100_000:
+        raise ValueError(
+            f"decontaminate: benchmark selection matched "
+            f"{len(bench_rows)} docs — not a benchmark; point the "
+            f"selection at a bounded eval table")
     bench = benchmark_ngram_set([r["text"] for r in bench_rows], n=3)
     bench_ref = ray.put(bench)
     corpus = ds.map_batches(pick(False), batch_format="pyarrow")

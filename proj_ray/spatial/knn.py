@@ -282,7 +282,7 @@ def radius_join(coords_ds, queries: Dict, radius_m: float,
         cells.update(int(c) for c in _cap_cells(
             float(qlon[qi]), float(qlat[qi]), radius_m * 1.001,
             res_deg))
-    cell_arr = np.fromiter(cells, dtype=np.int64)
+    cell_arr = np.sort(np.fromiter(cells, dtype=np.int64))
     qref = ray.put((qlon, qlat, qid))
 
     def pairs(batch: pa.Table) -> pa.Table:
@@ -291,7 +291,13 @@ def radius_join(coords_ds, queries: Dict, radius_m: float,
         ql, qb, qids = get_broadcast(qref)
         lon = batch.column("lon").to_numpy(zero_copy_only=False)
         lat = batch.column("lat").to_numpy(zero_copy_only=False)
-        keep = np.isin(grid_cell(lon, lat, res_deg), cell_arr)
+        # membership via searchsorted on the pre-sorted covering (an
+        # np.isin here would re-sort the cell set in every batch)
+        c = grid_cell(lon, lat, res_deg)
+        pos = np.minimum(np.searchsorted(cell_arr, c),
+                         max(len(cell_arr) - 1, 0))
+        keep = (cell_arr[pos] == c) if len(cell_arr) \
+            else np.zeros(len(c), dtype=bool)
         if not keep.any():
             return pa.table({
                 "query_id": pa.array([], type=pa.int64()),

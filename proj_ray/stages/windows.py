@@ -28,8 +28,19 @@ def _part(vals: np.ndarray, n: int) -> np.ndarray:
     return ((vals.astype(np.uint64) * _MIX) % np.uint64(n)).astype(np.int64)
 
 
+
+def _resolve_parts(ds, num_partitions):
+    """Size-derived partition count (VERDICT r3 finding #4 applied to
+    the windows family): default None derives one partition per
+    ~256 MB of input, floored at the cluster's CPU count."""
+    if num_partitions is not None:
+        return num_partitions
+    from proj_ray.stages.partitioning import derive_num_partitions
+
+    return derive_num_partitions(ds, default=32)
+
 def sessionize(ds, key: str, time: str, gap_s: float,
-               num_partitions: int = 32, tiebreak: str | None = None):
+               num_partitions: int | None = None, tiebreak: str | None = None):
     """Assign (session_id, session_seq) to every row: session_id counts
     a key's sessions in time order starting at 0; session_seq is the
     row's position within its session.  Gap semantics: a row starts a
@@ -38,10 +49,12 @@ def sessionize(ds, key: str, time: str, gap_s: float,
     matching `ts - lag(ts) > INTERVAL gap` in SQL.  `tiebreak` names a
     column ordering equal-time rows (session_seq is otherwise
     nondeterministic under timestamp ties)."""
+    nparts = _resolve_parts(ds, num_partitions)
+
     def add_part(t: pa.Table) -> pa.Table:
         k = t.column(key).to_numpy(zero_copy_only=False)
         return t.append_column("__part",
-                               pa.array(_part(k, num_partitions)))
+                               pa.array(_part(k, nparts)))
 
     def resolve(t: pa.Table) -> pa.Table:
         k = t.column(key).to_numpy(zero_copy_only=False)
@@ -94,7 +107,7 @@ def sessionize(ds, key: str, time: str, gap_s: float,
 
 
 def grouped_top_k(ds, key: str, score: str, k: int,
-                  num_partitions: int = 32, descending: bool = True,
+                  num_partitions: int | None = None, descending: bool = True,
                   tiebreak: str | None = None):
     """Exact per-key top-k by score.  Every batch first reduces to at
     most k rows per key it contains (bounded partial), so the shuffle
@@ -122,10 +135,12 @@ def grouped_top_k(ds, key: str, score: str, k: int,
         keep = order[rank < k]
         return t.take(pa.array(np.sort(keep)))
 
+    nparts = _resolve_parts(ds, num_partitions)
+
     def add_part(t: pa.Table) -> pa.Table:
         kv = t.column(key).to_numpy(zero_copy_only=False)
         return t.append_column("__part",
-                               pa.array(_part(kv, num_partitions)))
+                               pa.array(_part(kv, nparts)))
 
     def refine(t: pa.Table) -> pa.Table:
         out = partial(t.drop_columns(["__part"]))
@@ -168,17 +183,19 @@ def assign_sliding_windows(ds, time_col: str, width_s: int, hop_s: int,
 
 
 def keyed_lag(ds, key: str, time: str, value_cols: list[str],
-              num_partitions: int = 32, tiebreak: str | None = None):
+              num_partitions: int | None = None, tiebreak: str | None = None):
     """Row-level window function: for each row, attach the previous
     row's `value_cols` within its key in time order (`{c}_lag`
     columns, null on each key's first row) — SQL's
     ``LAG(c) OVER (PARTITION BY key ORDER BY time)``.  Same shape as
     sessionize: one hash-partition shuffle co-locates each key, then
     every partition resolves with one lexsort and shifted gathers."""
+    nparts = _resolve_parts(ds, num_partitions)
+
     def add_part(t: pa.Table) -> pa.Table:
         k = t.column(key).to_numpy(zero_copy_only=False)
         return t.append_column("__part",
-                               pa.array(_part(k, num_partitions)))
+                               pa.array(_part(k, nparts)))
 
     def resolve(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -218,16 +235,18 @@ def keyed_lag(ds, key: str, time: str, value_cols: list[str],
 
 def keyed_dense_rank(ds, key: str, order_col: str,
                      out_col: str = "drank",
-                     num_partitions: int = 32):
+                     num_partitions: int | None = None):
     """SQL ``DENSE_RANK() OVER (PARTITION BY key ORDER BY order_col)``:
     rows with equal order values share a rank and ranks are gapless.
     One hash-partition shuffle co-locates each key; every partition
     resolves with one lexsort + a cumulative new-value counter — no
     per-key loop, no global sort."""
+    nparts = _resolve_parts(ds, num_partitions)
+
     def add_part(t: pa.Table) -> pa.Table:
         k = t.column(key).to_numpy(zero_copy_only=False)
         return t.append_column("__part",
-                               pa.array(_part(k, num_partitions)))
+                               pa.array(_part(k, nparts)))
 
     def resolve(t: pa.Table) -> pa.Table:
         t = t.drop_columns(["__part"])
@@ -260,16 +279,18 @@ def keyed_dense_rank(ds, key: str, order_col: str,
 
 
 def keyed_cumsum(ds, key: str, time: str, value_cols: list[str],
-                 num_partitions: int = 32, tiebreak: str | None = None):
+                 num_partitions: int | None = None, tiebreak: str | None = None):
     """Running totals: SQL's ``SUM(c) OVER (PARTITION BY key ORDER BY
     time ROWS UNBOUNDED PRECEDING)`` — each row gets the cumulative sum
     of `value_cols` over its key's history up to and including itself
     (`{c}_cum` columns).  One key-hash shuffle, per-partition lexsort,
     segmented cumsum (global cumsum minus each key-run's prefix)."""
+    nparts = _resolve_parts(ds, num_partitions)
+
     def add_part(t: pa.Table) -> pa.Table:
         k = t.column(key).to_numpy(zero_copy_only=False)
         return t.append_column("__part",
-                               pa.array(_part(k, num_partitions)))
+                               pa.array(_part(k, nparts)))
 
     def resolve(t: pa.Table) -> pa.Table:
         t = t.drop_columns(["__part"])
@@ -316,17 +337,19 @@ def keyed_cumsum(ds, key: str, time: str, value_cols: list[str],
 
 
 def keyed_ntile(ds, key: str, order_col: str, n_tiles: int,
-                num_partitions: int = 32, tiebreak: str | None = None,
+                num_partitions: int | None = None, tiebreak: str | None = None,
                 out_col: str = "tile_no"):
     """SQL NTILE(n) OVER (PARTITION BY key ORDER BY order_col):
     each key's rows split into n rank buckets whose sizes differ by at
     most one (larger buckets first), 1-based like SQL.  Same shape as
     the other keyed window functions: one key-hash shuffle, a
     per-partition lexsort, vectorized rank -> bucket arithmetic."""
+    nparts = _resolve_parts(ds, num_partitions)
+
     def add_part(t: pa.Table) -> pa.Table:
         k = t.column(key).to_numpy(zero_copy_only=False)
         return t.append_column("__part",
-                               pa.array(_part(k, num_partitions)))
+                               pa.array(_part(k, nparts)))
 
     def resolve(t: pa.Table) -> pa.Table:
         t = t.drop_columns(["__part"])
@@ -373,17 +396,19 @@ def keyed_ntile(ds, key: str, order_col: str, n_tiles: int,
 
 
 def keyed_string_agg(ds, key: str, time: str, value_col: str,
-                     sep: str = ",", num_partitions: int = 32,
+                     sep: str = ",", num_partitions: int | None = None,
                      tiebreak: str | None = None,
                      out_col: str = "agg"):
     """Order-sensitive aggregation: SQL's
     ``string_agg(value, sep ORDER BY time)`` per key.  One key-hash
     shuffle, per-partition lexsort; the join loop is over KEY RUNS
     (bounded by the partition's distinct keys), not rows."""
+    nparts = _resolve_parts(ds, num_partitions)
+
     def add_part(t: pa.Table) -> pa.Table:
         k = t.column(key).to_numpy(zero_copy_only=False)
         return t.append_column("__part",
-                               pa.array(_part(k, num_partitions)))
+                               pa.array(_part(k, nparts)))
 
     def resolve(t: pa.Table) -> pa.Table:
         t = t.drop_columns(["__part"])
@@ -417,16 +442,18 @@ def keyed_string_agg(ds, key: str, time: str, value_col: str,
 
 
 def keyed_lead(ds, key: str, time: str, value_cols: list[str],
-               num_partitions: int = 32, tiebreak: str | None = None):
+               num_partitions: int | None = None, tiebreak: str | None = None):
     """Row-level window function: attach the NEXT row's `value_cols`
     within the key in time order (`{c}_lead` columns, null on each
     key's last row) — SQL's ``LEAD(c) OVER (PARTITION BY key ORDER BY
     time)``.  Mirror image of keyed_lag: one hash-partition shuffle,
     one lexsort per partition, shifted gathers."""
+    nparts = _resolve_parts(ds, num_partitions)
+
     def add_part(t: pa.Table) -> pa.Table:
         k = t.column(key).to_numpy(zero_copy_only=False)
         return t.append_column("__part",
-                               pa.array(_part(k, num_partitions)))
+                               pa.array(_part(k, nparts)))
 
     def resolve(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -465,15 +492,17 @@ def keyed_lead(ds, key: str, time: str, value_cols: list[str],
 
 def keyed_percent_rank(ds, key: str, order_col: str,
                        out_col: str = "prank",
-                       num_partitions: int = 32):
+                       num_partitions: int | None = None):
     """SQL ``PERCENT_RANK() OVER (PARTITION BY key ORDER BY
     order_col)`` = (rank - 1) / (key_count - 1), rank with ties
     sharing the first position.  Single-row keys get 0 (SQL's
     convention).  Same shuffle shape as keyed_dense_rank."""
+    nparts = _resolve_parts(ds, num_partitions)
+
     def add_part(t: pa.Table) -> pa.Table:
         k = t.column(key).to_numpy(zero_copy_only=False)
         return t.append_column("__part",
-                               pa.array(_part(k, num_partitions)))
+                               pa.array(_part(k, nparts)))
 
     def resolve(t: pa.Table) -> pa.Table:
         t = t.drop_columns(["__part"])
@@ -511,7 +540,7 @@ def keyed_percent_rank(ds, key: str, order_col: str,
 
 
 def keyed_funnel(ds, key: str, time: str, type_col: str,
-                 stages: list[str], num_partitions: int = 32):
+                 stages: list[str], num_partitions: int | None = None):
     """Ordered funnel analysis: per key, how many of `stages` were
     completed in strict time order (stage k+1 must first occur
     STRICTLY AFTER the key's first completion of stage k).
@@ -523,10 +552,12 @@ def keyed_funnel(ds, key: str, time: str, type_col: str,
     and t_complete is the completion time of the deepest stage (int64
     microseconds; -1 when depth == 0).
     """
+    nparts = _resolve_parts(ds, num_partitions)
+
     def add_part(t: pa.Table) -> pa.Table:
         k = t.column(key).to_numpy(zero_copy_only=False)
         return t.append_column("__part",
-                               pa.array(_part(k, num_partitions)))
+                               pa.array(_part(k, nparts)))
 
     def resolve(t: pa.Table) -> pa.Table:
         t = t.drop_columns(["__part"])
@@ -576,7 +607,7 @@ def keyed_funnel(ds, key: str, time: str, type_col: str,
 
 def keyed_rolling_mean(ds, key: str, time: str, value_col: str,
                        window_rows: int, out_col: str = "rmean",
-                       num_partitions: int = 32,
+                       num_partitions: int | None = None,
                        tiebreak: str | None = None):
     """Rows-frame moving average — SQL's ``AVG(v) OVER (PARTITION BY
     key ORDER BY time ROWS BETWEEN window_rows-1 PRECEDING AND CURRENT
@@ -586,10 +617,12 @@ def keyed_rolling_mean(ds, key: str, time: str, value_col: str,
     if window_rows < 1:
         raise ValueError("window_rows must be >= 1")
 
+    nparts = _resolve_parts(ds, num_partitions)
+
     def add_part(t: pa.Table) -> pa.Table:
         k = t.column(key).to_numpy(zero_copy_only=False)
         return t.append_column("__part",
-                               pa.array(_part(k, num_partitions)))
+                               pa.array(_part(k, nparts)))
 
     def resolve(t: pa.Table) -> pa.Table:
         t = t.drop_columns(["__part"])
