@@ -70,6 +70,7 @@ QUERY_NAMES = [
     "hex_histogram",
     "events_asof",
     "events_sessionize",
+    "events_resample",
     "orders_pctile",
     "customer_region",
     "order_revenue",

@@ -1754,6 +1754,96 @@ ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
 """
 
 
+def q_events_resample(sf_dir: str):
+    """Time-series resampling with gap fill: each user's activity span
+    expands to an hourly grid (distributed: the bounded per-user
+    min/max aggregate fans out vectorized — no driver grid), and every
+    grid hour picks up the user's last event value at-or-before it via
+    the as-of join.  SQL twin: generate_series + ASOF LEFT JOIN."""
+    import ray.data as rd
+
+    from proj_ray.stages.agg import hash_shuffle_aggregate
+    from proj_ray.stages.asof import asof_join
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "value"])
+
+    def bounds_partial(t: pa.Table) -> pa.Table:
+        out = pa.table({
+            "user_id": t.column("user_id"),
+            "tmin": t.column("ts"), "tmax": t.column("ts"),
+        }).group_by("user_id").aggregate(
+            [("tmin", "min"), ("tmax", "max")])
+        return out.rename_columns(["user_id", "tmin", "tmax"])
+
+    bounds = hash_shuffle_aggregate(
+        ev.map_batches(bounds_partial, batch_format="pyarrow"),
+        ["user_id"], [("tmin", "min"), ("tmax", "max")])
+
+    HOUR = 3_600_000_000  # microseconds
+
+    def expand(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        t0 = t.column("tmin").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").view(np.int64)
+        t1 = t.column("tmax").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").view(np.int64)
+        h0 = (t0 // HOUR) * HOUR
+        h1 = (t1 // HOUR) * HOUR
+        counts = (h1 - h0) // HOUR + 1
+        total = int(counts.sum())
+        run0 = np.repeat(np.cumsum(counts) - counts, counts)
+        step = np.arange(total, dtype=np.int64) - run0
+        hours = np.repeat(h0, counts) + step * HOUR
+        return pa.table({
+            "user_id": pa.array(np.repeat(u, counts)),
+            "ts": pa.array(hours.view("datetime64[us]")),
+        })
+
+    grid = bounds.map_batches(expand, batch_format="pyarrow")
+
+    def right_prep(t: pa.Table) -> pa.Table:
+        return pa.table({"user_id": t.column("user_id"),
+                         "ts": t.column("ts"),
+                         "last_value": t.column("value")})
+
+    j = asof_join(grid, ev.map_batches(right_prep,
+                                       batch_format="pyarrow"),
+                  key="user_id", time="ts")
+
+    def fin(t: pa.Table) -> pa.Table:
+        hours = t.column("ts").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").view(np.int64)
+        return pa.table({
+            "user_id": t.column("user_id"),
+            "hour_us": pa.array(hours),
+            "last_value": pc.fill_null(
+                pc.round(t.column("last_value"), 6), -1.0),
+        })
+
+    return j.map_batches(fin, batch_format="pyarrow")
+
+
+SQL_EVENTS_RESAMPLE = """
+WITH bounds AS (
+    SELECT user_id,
+           date_trunc('hour', min(ts)) AS h0,
+           date_trunc('hour', max(ts)) AS h1
+    FROM events GROUP BY user_id
+),
+grid AS (
+    SELECT user_id, unnest(generate_series(h0, h1,
+                                           INTERVAL 1 HOUR)) AS h
+    FROM bounds
+)
+SELECT g.user_id, epoch_us(g.h) AS hour_us,
+       coalesce(round(e.value, 6), -1.0) AS last_value
+FROM grid g
+ASOF LEFT JOIN (SELECT user_id, ts, value FROM events) e
+  ON g.user_id = e.user_id AND g.h >= e.ts
+"""
+
+
 def q_events_sessionize(sf_dir: str):
     """Gap-based session windows (30-min inactivity gap) per user, with
     a per-session sequence number — the streaming session-window
@@ -3971,6 +4061,7 @@ def build_queries():
         "stratified_sample": q_stratified_sample,
         "events_asof": q_events_asof,
         "events_sessionize": q_events_sessionize,
+        "events_resample": q_events_resample,
         "events_top_value": q_events_top_value,
         "orders_pctile": q_orders_pctile,
         "customer_region": q_customer_region,
@@ -4067,6 +4158,7 @@ def build_oracles():
         "stratified_sample": _sql_stratified_sample(),
         "events_asof": SQL_EVENTS_ASOF,
         "events_sessionize": SQL_EVENTS_SESSIONIZE,
+        "events_resample": SQL_EVENTS_RESAMPLE,
         "events_top_value": SQL_EVENTS_TOP_VALUE,
         "orders_pctile": SQL_ORDERS_PCTILE,
         "customer_region": SQL_CUSTOMER_REGION,
