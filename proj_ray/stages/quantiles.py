@@ -38,7 +38,20 @@ def approx_quantiles(ds, col: str, qs, bins: int = 4096):
         return pa.table({"lo": pa.array([float(v.min())]),
                          "hi": pa.array([float(v.max())])})
 
-    parts = ds.map_batches(minmax, batch_format="pyarrow").take_all()
+    def minmax_fold(t: pa.Table) -> pa.Table:
+        lo_ = t.column("lo").to_numpy(zero_copy_only=False)
+        hi_ = t.column("hi").to_numpy(zero_copy_only=False)
+        if len(lo_) == 0:
+            return t
+        return pa.table({"lo": pa.array([float(lo_.min())]),
+                         "hi": pa.array([float(hi_.max())])})
+
+    # fan-in before the driver fold: the driver sees O(fanout)
+    # partials, not O(n_blocks) (the bloom_build exchange shape)
+    parts = ds.map_batches(minmax, batch_format="pyarrow") \
+        .repartition(8).map_batches(minmax_fold,
+                                    batch_format="pyarrow",
+                                    batch_size=None).take_all()
     if not parts:
         return {float(q): float("nan") for q in np.atleast_1d(qs)}
     lo = min(p["lo"] for p in parts)
@@ -55,8 +68,18 @@ def approx_quantiles(ds, col: str, qs, bins: int = 4096):
         return pa.table({"h": pa.array([counts.tobytes()],
                                        type=pa.binary())})
 
+    def hist_fold(t: pa.Table) -> pa.Table:
+        acc = np.zeros(bins, dtype=np.int64)
+        for b in t.column("h"):
+            acc += np.frombuffer(b.as_py(), dtype=np.int64)
+        return pa.table({"h": pa.array([acc.tobytes()],
+                                       type=pa.binary())})
+
     total = np.zeros(bins, dtype=np.int64)
-    for row in ds.map_batches(hist, batch_format="pyarrow").take_all():
+    folded = ds.map_batches(hist, batch_format="pyarrow") \
+        .repartition(8).map_batches(hist_fold, batch_format="pyarrow",
+                                    batch_size=None)
+    for row in folded.take_all():
         total += np.frombuffer(row["h"], dtype=np.int64)
     cum = np.cumsum(total)
     n = cum[-1]
