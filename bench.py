@@ -88,6 +88,7 @@ QUERY_NAMES = [
     "orders_top100",
     "idle_customers",
     "distinct_users",
+    "user_active_days",
     "urgent_orders",
     "kmeans_clusters",
     "converting_hours",

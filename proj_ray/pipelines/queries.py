@@ -2810,6 +2810,37 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_user_active_days(sf_dir: str):
+    """Exact COUNT(DISTINCT active day) per user — the unbounded-key
+    twin of distinct_users: both the dedup pairs AND the final count
+    stay hash-partitioned (bounded_keys=False), because the user
+    universe scales with the corpus."""
+    import ray.data as rd
+
+    from proj_ray.stages.distinct import exact_distinct_count
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"])
+
+    def add_day(t: pa.Table) -> pa.Table:
+        d = t.column("ts").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[D]").view(np.int64)
+        return pa.table({"user_id": t.column("user_id"),
+                         "day": pa.array(d)})
+
+    return exact_distinct_count(ev.map_batches(add_day,
+                                               batch_format="pyarrow"),
+                                key="user_id", value="day",
+                                out_col="n_days", bounded_keys=False)
+
+
+SQL_USER_ACTIVE_DAYS = """
+SELECT user_id,
+       CAST(count(DISTINCT date_trunc('day', ts)) AS BIGINT) AS n_days
+FROM events GROUP BY user_id
+"""
+
+
 def q_distinct_users(sf_dir: str):
     """Exact COUNT(DISTINCT user) per event type: per-batch pair
     dedup, one pair-keyed hash shuffle to finish the dedup, small
@@ -4080,6 +4111,7 @@ def build_queries():
         "orders_top100": q_orders_top100,
         "idle_customers": q_idle_customers,
         "distinct_users": q_distinct_users,
+        "user_active_days": q_user_active_days,
         "urgent_orders": q_urgent_orders,
         "converting_hours": q_converting_hours,
         "events_pivot": q_events_pivot,
@@ -4178,6 +4210,7 @@ def build_oracles():
         "orders_top100": SQL_ORDERS_TOP100,
         "idle_customers": SQL_IDLE_CUSTOMERS,
         "distinct_users": SQL_DISTINCT_USERS,
+        "user_active_days": SQL_USER_ACTIVE_DAYS,
         "urgent_orders": SQL_URGENT_ORDERS,
         "converting_hours": SQL_CONVERTING_HOURS,
         "events_pivot": SQL_EVENTS_PIVOT,

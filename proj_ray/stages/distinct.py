@@ -36,8 +36,14 @@ def _hash64(vals: np.ndarray) -> np.ndarray:
 
 def exact_distinct_count(ds, key: str, value: str,
                          num_buckets: int = 64,
-                         out_col: str = "n_distinct"):
-    """Exact COUNT(DISTINCT value) per key."""
+                         out_col: str = "n_distinct",
+                         bounded_keys: bool = True):
+    """Exact COUNT(DISTINCT value) per key.  `bounded_keys=True`
+    finishes the per-key count through the combine tree (right for
+    dimension-like keys: event types, categories); pass False when the
+    key universe scales with the corpus (per-user, per-document) so
+    the finish stays hash-partitioned — the module contract
+    tree_aggregate enforces with max_keys."""
     from proj_ray.stages.agg import hash_shuffle_aggregate, tree_aggregate
 
     def pair_dedup(t: pa.Table) -> pa.Table:
@@ -57,9 +63,11 @@ def exact_distinct_count(ds, key: str, value: str,
                          out_col: pa.array(np.ones(len(t),
                                                    dtype=np.int64))})
 
-    return tree_aggregate(pairs.map_batches(count_partial,
-                                            batch_format="pyarrow"),
-                          [key], [(out_col, "sum")])
+    counted = pairs.map_batches(count_partial, batch_format="pyarrow")
+    if bounded_keys:
+        return tree_aggregate(counted, [key], [(out_col, "sum")])
+    return hash_shuffle_aggregate(counted, [key], [(out_col, "sum")],
+                                  num_buckets=num_buckets)
 
 
 def approx_distinct(ds, key: str, value: str, p: int = 12,
