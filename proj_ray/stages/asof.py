@@ -131,9 +131,21 @@ def asof_join(left_ds, right_ds, key: str, time: str,
             return pa.table({"lo": pa.array([tm.min()]),
                              "hi": pa.array([tm.max()])})
 
+        def minmax_fold(t: pa.Table) -> pa.Table:
+            lo_ = t.column("lo").to_numpy(zero_copy_only=False)
+            hi_ = t.column("hi").to_numpy(zero_copy_only=False)
+            if len(lo_) == 0:
+                return t
+            return pa.table({"lo": pa.array([int(lo_.min())]),
+                             "hi": pa.array([int(hi_.max())])})
+
+        # fan-in before the driver fold (bloom_build exchange shape)
         rows = (left_ds.map_batches(minmax, batch_format="pyarrow")
                 .union(right_ds.map_batches(minmax,
                                             batch_format="pyarrow"))
+                .repartition(8)
+                .map_batches(minmax_fold, batch_format="pyarrow",
+                             batch_size=None)
                 .take_all())
         if rows:
             tmin = min(r["lo"] for r in rows)
