@@ -104,6 +104,7 @@ QUERY_NAMES = [
     "frequent_tokens",
     "tfidf_terms",
     "weighted_sample",
+    "lang_weighted_sample",
     "doc_split",
     "audio_chunks",
     "top_segment",

@@ -2323,6 +2323,32 @@ def _sql_weighted_sample() -> str:
             f"ORDER BY {key} DESC, doc_id LIMIT 40")
 
 
+def q_lang_weighted_sample(sf_dir: str):
+    """Length-weighted sample of 8 docs PER LANGUAGE (the balanced
+    multilingual subset a training mix wants): per-stratum
+    Efraimidis-Spirakis keys + the keyed bounded-partial top-k
+    combiner (stages/sampling.py stratified_weighted_sample)."""
+    import ray.data as rd
+
+    from proj_ray.stages.sampling import stratified_weighted_sample
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "lang", "n_chars"])
+    return stratified_weighted_sample(ds, k=8, strat_col="lang",
+                                      weight_col="n_chars",
+                                      id_col="doc_id", seed=13)
+
+
+def _sql_lang_weighted_sample() -> str:
+    from proj_ray.stages.sampling import sql_es_key
+
+    key = sql_es_key("doc_id", "n_chars", seed=13)
+    return (f"SELECT doc_id, lang, n_chars FROM ("
+            f"SELECT *, row_number() OVER (PARTITION BY lang "
+            f"ORDER BY {key} DESC, doc_id) AS rn FROM documents) "
+            f"WHERE rn <= 8")
+
+
 def q_frequent_tokens(sf_dir: str):
     """Heavy hitters over the document corpus: whitespace tokens
     carrying >= 0.5% of all token mass.  Exact path (per-batch Arrow
@@ -4126,6 +4152,7 @@ def build_queries():
         "frequent_tokens": q_frequent_tokens,
         "tfidf_terms": q_tfidf_terms,
         "weighted_sample": q_weighted_sample,
+        "lang_weighted_sample": q_lang_weighted_sample,
         "simhash_pairs": q_simhash_pairs,
         "embedding_near_dup": q_embedding_near_dup,
         "ann_ivf": q_ann_ivf,
@@ -4225,6 +4252,7 @@ def build_oracles():
         "frequent_tokens": SQL_FREQUENT_TOKENS,
         "tfidf_terms": SQL_TFIDF_TERMS,
         "weighted_sample": _sql_weighted_sample(),
+        "lang_weighted_sample": _sql_lang_weighted_sample(),
         "lang_quality": _sql_lang_quality(),
         "top_segment": SQL_TOP_SEGMENT,
         "events_rank": SQL_EVENTS_RANK,

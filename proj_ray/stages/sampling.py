@@ -189,3 +189,25 @@ def sql_hash_split_expr(fractions: dict, id_col: str = "doc_id",
         arms.append(f"WHEN {h} < {t}::HUGEINT THEN '{lab}'")
     return ("CASE " + " ".join(arms)
             + f" ELSE '{labels[-1]}' END")
+
+
+def stratified_weighted_sample(ds, k: int, strat_col: str,
+                               weight_col: str, id_col: str = "doc_id",
+                               seed: int = 0):
+    """Deterministic weighted sample of k rows PER STRATUM (without
+    replacement, P proportional to weight within the stratum): the
+    same Efraimidis-Spirakis keys, finished by the per-key
+    bounded-partial top-k combiner — each batch ships at most
+    k rows per stratum it contains, never the corpus."""
+    from proj_ray.stages.windows import grouped_top_k
+
+    def add_key(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        w = t.column(weight_col).to_numpy(zero_copy_only=False)
+        return t.append_column("__es",
+                               pa.array(es_key(ids, w, seed)))
+
+    keyed = ds.map_batches(add_key, batch_format="pyarrow")
+    top = grouped_top_k(keyed, key=strat_col, score="__es", k=k,
+                        descending=True, tiebreak=id_col)
+    return top.drop_columns(["__es"])

@@ -25,6 +25,11 @@ _MIX = np.uint64(0x9E3779B97F4A7C15)
 
 
 def _part(vals: np.ndarray, n: int) -> np.ndarray:
+    if vals.dtype.kind not in "iufM":
+        # string/object keys: the vectorized crc shuffle hash
+        from proj_ray.stages.agg import crc_bucket
+
+        return crc_bucket(pa.array(vals), n)
     return ((vals.astype(np.uint64) * _MIX) % np.uint64(n)).astype(np.int64)
 
 
