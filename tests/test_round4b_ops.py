@@ -239,3 +239,52 @@ def test_contamination_no_cross_doc_grams(ray_session):
                rd.from_arrow(corpus), ray.put(bench),
                n=3).take_all()}
     assert out == {1: 0, 2: 0}
+
+
+def test_copartition_agg_join_property_random(ray_session):
+    """Property check: fused agg-join == pandas groupby-sum + merge on
+    randomized inputs across all three modes (hypothesis-style sweep
+    with fixed seeds for determinism)."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(21)
+    from proj_ray.stages.relational import copartition_agg_join
+
+    for trial in range(6):
+        nl = int(rng.integers(0, 40))
+        nr = int(rng.integers(0, 120))
+        left = pd.DataFrame({
+            "k": rng.integers(0, 12, nl).astype("int64"),
+            "payload": rng.normal(size=nl),
+        }).drop_duplicates("k")
+        right = pd.DataFrame({
+            "rk": rng.integers(0, 15, nr).astype("int64"),
+            "s": rng.normal(size=nr),
+            "n": rng.integers(1, 5, nr).astype("int64"),
+        })
+        want_agg = right.groupby("rk", as_index=False)[["s", "n"]].sum()
+        for how in ("inner", "left", "full"):
+            got = copartition_agg_join(
+                rd.from_arrow(pa.Table.from_pandas(left)),
+                rd.from_arrow(pa.Table.from_pandas(right)),
+                on="k", right_on="rk", agg_cols=("s", "n"),
+                how=how, num_partitions=3).to_pandas()
+            pd_how = {"inner": "inner", "left": "left",
+                      "full": "outer"}[how]
+            want = left.merge(want_agg, how=pd_how, left_on="k",
+                              right_on="rk")
+            want["k"] = want["k"].fillna(want["rk"])
+            want = want.drop(columns=["rk"])
+            assert len(got) == len(want), (trial, how)
+            g = got.sort_values("k").reset_index(drop=True)
+            w = want.sort_values("k").reset_index(drop=True)
+            np.testing.assert_allclose(
+                g["k"].to_numpy(dtype=float),
+                w["k"].to_numpy(dtype=float), err_msg=f"{trial}/{how}")
+            np.testing.assert_allclose(
+                g["s"].fillna(np.inf), w["s"].fillna(np.inf),
+                atol=1e-12, err_msg=f"{trial}/{how}")
+            np.testing.assert_allclose(
+                g["n"].fillna(-1).astype(float),
+                w["n"].fillna(-1).astype(float),
+                err_msg=f"{trial}/{how}")
