@@ -54,6 +54,7 @@ QUERY_NAMES = [
     "doc_repetition",
     "decontaminate",
     "doc_logprob",
+    "corpus_curation",
     "exact_dedup",
     "ann_topk",
     "events_window",

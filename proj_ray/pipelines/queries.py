@@ -1006,6 +1006,168 @@ GROUP BY d.doc_id
 """
 
 
+_CURATE_DUP_MAX = 0.6
+_CURATE_NLL_MAX = 3.5
+_CURATE_SPLITS = {"train": 0.9, "val": 0.05, "test": 0.05}
+
+
+def q_corpus_curation(sf_dir: str):
+    """End-to-end training-corpus curation — the composed LLM-data
+    pipeline this engine exists for, in ONE streaming pass per
+    document after two bounded prep passes:
+
+      1. (prep) benchmark 3-gram set: driver-built from the modulo-97
+         stand-in benchmark, broadcast (gated like decontaminate);
+      2. (prep) corpus unigram frequency table: combine tree +
+         broadcast (the TF-IDF df contract);
+      3. (stream) per batch: Gopher repetition metrics, benchmark
+         contamination hits, mean unigram NLL — keep documents with
+         dup_token_frac <= 0.6, no contamination, mean_nll <= 3.5;
+      4. (stream) deterministic 90/5/5 split label;
+      5. bounded (split, lang) aggregate: docs kept + char volume.
+
+    Every stage is SQL-expressible, so the WHOLE pipeline is
+    oracle-paired end to end."""
+    import ray
+    import ray.data as rd
+
+    from proj_ray.stages.agg import tree_aggregate
+    from proj_ray.stages.hashing import rolling_hash_batch
+    from proj_ray.stages.sampling import hash_split
+    from proj_ray.stages.text import (benchmark_ngram_set,
+                                      contamination_hits_batch,
+                                      repetition_stats_batch,
+                                      unigram_nll_batch)
+    from proj_ray.stages.worker_cache import get_broadcast
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "lang", "n_chars"])
+
+    def pick_bench(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % 97 == 0))
+
+    bench_rows = ds.map_batches(pick_bench,
+                                batch_format="pyarrow").take_all()
+    if len(bench_rows) > 100_000:
+        raise ValueError("corpus_curation: benchmark selection is not "
+                         "bounded — point it at an eval table")
+    bench_ref = ray.put(benchmark_ngram_set(
+        [r["text"] for r in bench_rows], n=3))
+
+    def freq_partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(pc.fill_null(t.column("text"), ""),
+                                " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        h = rolling_hash_batch(toks.flatten())
+        u, c = np.unique(h, return_counts=True)
+        return pa.table({"tok": pa.array(u),
+                         "c": pa.array(c.astype(np.int64))})
+
+    freq_ds = tree_aggregate(
+        ds.map_batches(freq_partial, batch_format="pyarrow"),
+        ["tok"], [("c", "sum")], fanout=8, max_keys=None)
+    freq = pa.concat_tables(ray.get(freq_ds.to_arrow_refs()),
+                            promote_options="default")
+    vocab = freq.column("tok").to_numpy(zero_copy_only=False)
+    cnts = freq.column("c").to_numpy(zero_copy_only=False)
+    order = np.argsort(vocab)
+    vocab, cnts = vocab[order].astype(np.uint64), cnts[order]
+    total = int(cnts.sum())
+    freq_ref = ray.put((vocab, cnts))
+
+    def curate(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        corpus = t.filter(pa.array(ids % 97 != 0))
+        if len(corpus) == 0:
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "lang": pa.array([], type=pa.string()),
+                             "n_chars": pa.array([], type=pa.int64())})
+        rep = repetition_stats_batch(corpus)
+        dup = rep.column("dup_token_frac") \
+            .to_numpy(zero_copy_only=False)
+        bench = get_broadcast(bench_ref)
+        hits = contamination_hits_batch(corpus, bench, 3)
+        v, c = get_broadcast(freq_ref)
+        _, nll = unigram_nll_batch(corpus, v, c, total, alpha=1.0,
+                                   vocab_size=len(v))
+        keep = (dup <= _CURATE_DUP_MAX) & (hits == 0) \
+            & (nll <= _CURATE_NLL_MAX)
+        return corpus.filter(pa.array(keep)).select(
+            ["doc_id", "lang", "n_chars"])
+
+    kept = hash_split(ds.map_batches(curate, batch_format="pyarrow"),
+                      _CURATE_SPLITS, id_col="doc_id", seed=29)
+
+    def partial(t: pa.Table) -> pa.Table:
+        out = pa.table({
+            "split": t.column("split"), "lang": t.column("lang"),
+            "n_docs": pa.array(np.ones(len(t), dtype=np.int64)),
+            "n_chars": t.column("n_chars"),
+        }).group_by(["split", "lang"]).aggregate(
+            [("n_docs", "sum"), ("n_chars", "sum")])
+        return out.rename_columns(["split", "lang", "n_docs",
+                                   "n_chars"])
+
+    return tree_aggregate(kept.map_batches(partial,
+                                           batch_format="pyarrow"),
+                          ["split", "lang"],
+                          [("n_docs", "sum"), ("n_chars", "sum")])
+
+
+def _sql_corpus_curation() -> str:
+    from proj_ray.stages.sampling import sql_hash_split_expr
+
+    split = sql_hash_split_expr(_CURATE_SPLITS, seed=29)
+    return f"""
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS l FROM documents
+),
+flat AS (SELECT doc_id, unnest(l) AS tok FROM toks),
+rep AS (
+    SELECT doc_id, count(*) AS n_tok,
+           1.0 - count(DISTINCT tok) * 1.0 / count(*)
+               AS dup_token_frac
+    FROM flat GROUP BY doc_id
+),
+freq AS (SELECT tok, count(*) AS c FROM flat GROUP BY tok),
+tot AS (SELECT sum(c) AS t, count(*) AS v FROM freq),
+nlls AS (
+    SELECT d.doc_id,
+           avg(-ln((f.c + 1.0) / (tot.t + 1.0 * tot.v))) AS mean_nll
+    FROM flat d JOIN freq f USING (tok), tot GROUP BY d.doc_id
+),
+bgrams AS (
+    SELECT DISTINCT l[i] || ' ' || l[i + 1] || ' ' || l[i + 2] AS g
+    FROM toks, LATERAL (SELECT unnest(range(1, len(l) - 1)) AS i)
+    WHERE doc_id % 97 = 0
+),
+hits AS (
+    SELECT DISTINCT d.doc_id
+    FROM (SELECT doc_id,
+                 unnest(list_transform(range(1, len(l) - 1),
+                        i -> l[i] || ' ' || l[i + 1] || ' ' ||
+                             l[i + 2])) AS g
+          FROM toks WHERE doc_id % 97 != 0) d
+    JOIN bgrams b USING (g)
+),
+kept AS (
+    SELECT doc.doc_id, doc.lang, doc.n_chars
+    FROM documents doc
+    JOIN rep USING (doc_id) JOIN nlls USING (doc_id)
+    WHERE doc.doc_id % 97 != 0
+      AND rep.dup_token_frac <= {_CURATE_DUP_MAX}
+      AND nlls.mean_nll <= {_CURATE_NLL_MAX}
+      AND doc.doc_id NOT IN (SELECT doc_id FROM hits)
+)
+SELECT {split} AS split, lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       sum(n_chars) AS n_chars
+FROM kept GROUP BY 1, 2
+"""
+
+
 def q_text_stats(sf_dir: str):
     import ray.data as rd
 
@@ -4101,6 +4263,7 @@ def build_queries():
         "doc_repetition": q_doc_repetition,
         "decontaminate": q_decontaminate,
         "doc_logprob": q_doc_logprob,
+        "corpus_curation": q_corpus_curation,
         "exact_dedup": q_exact_dedup,
         "ann_topk": q_ann_topk,
         "events_window": q_events_window,
@@ -4205,6 +4368,7 @@ def build_oracles():
         "doc_repetition": SQL_DOC_REPETITION,
         "decontaminate": SQL_DECONTAMINATE,
         "doc_logprob": SQL_DOC_LOGPROB,
+        "corpus_curation": _sql_corpus_curation(),
         "exact_dedup": SQL_EXACT_DEDUP,
         "ann_topk": SQL_ANN_TOPK,
         "events_window": SQL_EVENTS_WINDOW,

@@ -240,39 +240,11 @@ def contamination_flags(ds, bench_ref, n: int = 3,
     by shifted mixing, and membership resolves with one searchsorted
     against the per-worker cached benchmark set.  Output: (id,
     contaminated, n_hits)."""
-    import pyarrow.compute as pc
-
-    from proj_ray.stages.hashing import rolling_hash_batch
     from proj_ray.stages.worker_cache import get_broadcast
-
-    PHI = np.uint64(0x9E3779B97F4A7C15)
 
     def flag(t: pa.Table) -> pa.Table:
         bench = get_broadcast(bench_ref)
-        text = pc.fill_null(t.column(text_col), "")
-        toks = pc.split_pattern(text, " ")
-        if isinstance(toks, pa.ChunkedArray):
-            toks = toks.combine_chunks()
-        flat = toks.flatten()
-        off = toks.offsets.to_numpy(zero_copy_only=False)
-        counts = np.diff(off)
-        h = rolling_hash_batch(flat)
-        n_docs = len(t)
-        hits = np.zeros(n_docs, dtype=np.int64)
-        if len(h) >= n and len(bench):
-            # n-gram hashes at every position, then invalidate the
-            # ones that straddle a document boundary
-            m = len(h) - n + 1
-            g = h[:m].copy()
-            for k in range(1, n):
-                g = (g * PHI) ^ h[k: m + k]
-            pos = np.arange(m)
-            doc_idx = np.searchsorted(off, pos, side="right") - 1
-            in_doc = pos + n <= off[doc_idx + 1]
-            p = np.searchsorted(bench, g)
-            pc_ = np.minimum(p, len(bench) - 1)
-            member = (bench[pc_] == g) & in_doc
-            np.add.at(hits, doc_idx[member], 1)
+        hits = contamination_hits_batch(t, bench, n, text_col)
         return pa.table({
             id_col: t.column(id_col),
             "contaminated": pa.array(hits > 0),
@@ -280,6 +252,41 @@ def contamination_flags(ds, bench_ref, n: int = 3,
         })
 
     return ds.map_batches(flag, batch_format="pyarrow")
+
+
+def contamination_hits_batch(t: pa.Table, bench: np.ndarray, n: int,
+                             text_col: str = "text") -> np.ndarray:
+    """Per-row benchmark n-gram hit counts (the batch core of
+    contamination_flags; cross-document grams invalidated)."""
+    import pyarrow.compute as pc
+
+    from proj_ray.stages.hashing import rolling_hash_batch
+
+    PHI = np.uint64(0x9E3779B97F4A7C15)
+    text = pc.fill_null(t.column(text_col), "")
+    toks = pc.split_pattern(text, " ")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = toks.flatten()
+    off = toks.offsets.to_numpy(zero_copy_only=False)
+    h = rolling_hash_batch(flat)
+    n_docs = len(t)
+    hits = np.zeros(n_docs, dtype=np.int64)
+    if len(h) >= n and len(bench):
+        # n-gram hashes at every position, then invalidate the ones
+        # that straddle a document boundary
+        m = len(h) - n + 1
+        g = h[:m].copy()
+        for k in range(1, n):
+            g = (g * PHI) ^ h[k: m + k]
+        pos = np.arange(m)
+        doc_idx = np.searchsorted(off, pos, side="right") - 1
+        in_doc = pos + n <= off[doc_idx + 1]
+        p = np.searchsorted(bench, g)
+        pc_ = np.minimum(p, len(bench) - 1)
+        member = (bench[pc_] == g) & in_doc
+        np.add.at(hits, doc_idx[member], 1)
+    return hits
 
 
 def unigram_logprob(ds, freq_ref, total_tokens: int,
@@ -298,28 +305,8 @@ def unigram_logprob(ds, freq_ref, total_tokens: int,
 
     def score(t: pa.Table) -> pa.Table:
         vocab, cnts = get_broadcast(freq_ref)
-        V = vocab_size if vocab_size is not None else len(vocab)
-        denom = float(total_tokens) + alpha * V
-        text = pc.fill_null(t.column(text_col), "")
-        toks = pc.split_pattern(text, " ")
-        if isinstance(toks, pa.ChunkedArray):
-            toks = toks.combine_chunks()
-        flat = toks.flatten()
-        off = toks.offsets.to_numpy(zero_copy_only=False)
-        counts = np.diff(off)
-        h = rolling_hash_batch(flat)
-        if len(h):
-            p = np.searchsorted(vocab, h)
-            pc_ = np.minimum(p, max(len(vocab) - 1, 0))
-            c = np.where((len(vocab) > 0) & (vocab[pc_] == h),
-                         cnts[pc_] if len(vocab) else 0, 0)
-            nll = -np.log((c + alpha) / denom)
-            doc_idx = np.repeat(np.arange(len(t)), counts)
-            tot = np.bincount(doc_idx, weights=nll, minlength=len(t))
-        else:
-            tot = np.zeros(len(t))
-        with np.errstate(invalid="ignore", divide="ignore"):
-            mean = np.where(counts > 0, tot / counts, 0.0)
+        counts, mean = unigram_nll_batch(t, vocab, cnts, total_tokens,
+                                         alpha, vocab_size, text_col)
         return pa.table({
             id_col: t.column(id_col),
             "n_tok": pa.array(counts.astype(np.int64)),
@@ -327,3 +314,39 @@ def unigram_logprob(ds, freq_ref, total_tokens: int,
         })
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def unigram_nll_batch(t: pa.Table, vocab: np.ndarray,
+                      cnts: np.ndarray, total_tokens: int,
+                      alpha: float = 1.0,
+                      vocab_size: int | None = None,
+                      text_col: str = "text"):
+    """(token counts, mean negative log-prob) per row — the batch core
+    of unigram_logprob."""
+    import pyarrow.compute as pc
+
+    from proj_ray.stages.hashing import rolling_hash_batch
+
+    V = vocab_size if vocab_size is not None else len(vocab)
+    denom = float(total_tokens) + alpha * V
+    text = pc.fill_null(t.column(text_col), "")
+    toks = pc.split_pattern(text, " ")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = toks.flatten()
+    off = toks.offsets.to_numpy(zero_copy_only=False)
+    counts = np.diff(off)
+    h = rolling_hash_batch(flat)
+    if len(h):
+        p = np.searchsorted(vocab, h)
+        pc_ = np.minimum(p, max(len(vocab) - 1, 0))
+        c = np.where((len(vocab) > 0) & (vocab[pc_] == h),
+                     cnts[pc_] if len(vocab) else 0, 0)
+        nll = -np.log((c + alpha) / denom)
+        doc_idx = np.repeat(np.arange(len(t)), counts)
+        tot = np.bincount(doc_idx, weights=nll, minlength=len(t))
+    else:
+        tot = np.zeros(len(t))
+    with np.errstate(invalid="ignore", divide="ignore"):
+        mean = np.where(counts > 0, tot / counts, 0.0)
+    return counts, mean
