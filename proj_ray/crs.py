@@ -813,6 +813,10 @@ def _map_parameters(method: _Method, raw: List[tuple]) -> dict:
         proj_key, _want = target
         if proj_key is None:
             continue  # documented drop (e.g. Krovak cone geometry)
+        if kind is not None and _want == _P_ANGLE:
+            # WKT1 angle in a non-degree GEOGCS unit: kind carries
+            # the unit->degree scale (see the PROJCS branch)
+            value = value * kind
         out[proj_key] = value
     if method.finish is not None:
         method.finish(out)
@@ -1004,15 +1008,24 @@ def _crs_from_wkt_node(node: WktNode) -> CRS:
             raise ProjError("projected CRS without a base geographic CRS")
         base_crs = _crs_from_wkt_node(base)
         if kw == "PROJCS":
-            # WKT1: PROJECTION + flat PARAMETERs on the PROJCS node
+            # WKT1: PROJECTION + flat PARAMETERs on the PROJCS node.
+            # Angle parameters carry NO unit node — they are in the
+            # GEOGCS angular UNIT (the reference applies that unit;
+            # NTF Paris Lambert uses grads).  Pass the deg-scale as
+            # the kind hint so _map_parameters scales only the
+            # parameters it knows are angles.
             proj_node = node.child("PROJECTION")
             if proj_node is None:
                 raise ProjError("PROJCS without PROJECTION")
             method_name = proj_node.str0()
+            geog_unit = base.child("ANGLEUNIT", "UNIT")
+            ang_factor = _unit_factor(geog_unit, _DEG)
+            ang_scale = (None if abs(ang_factor - _DEG) < 1e-12
+                         else ang_factor / _DEG)
             raw = []
             for p in node.children("PARAMETER"):
                 fl = p.floats()
-                raw.append((p.str0(), fl[0] if fl else 0.0, None))
+                raw.append((p.str0(), fl[0] if fl else 0.0, ang_scale))
             conv_name = method_name
         else:
             conv = node.child("CONVERSION")

@@ -36,6 +36,20 @@ def _part(vals: np.ndarray, n: int) -> np.ndarray:
     return (h % np.uint64(n)).astype(np.int64)
 
 
+def _bucket_key(t: pa.Table, key: str, nparts: int) -> np.ndarray:
+    """Deterministic partition bucket for the key column.  Non-integer
+    keys go through the repo's vectorized crc_bucket — Python hash()
+    is salted per worker process, so it would assign the same key to
+    different __part values in different batches and split one
+    geometry's vertices across groupby groups."""
+    k = t.column(key).to_numpy(zero_copy_only=False)
+    if k.dtype.kind in "iu":
+        return _part(k, nparts)
+    from proj_ray.stages.agg import crc_bucket
+
+    return crc_bucket(t.column(key), nparts)
+
+
 def _key_spans(k_sorted: np.ndarray):
     """Start indices + counts of each key run in a sorted key array."""
     n = len(k_sorted)
@@ -98,11 +112,8 @@ def polygon_area_centroid(ds, key: str = "polygon_id",
     nparts = num_partitions or derive_num_partitions(ds, default=32)
 
     def add_part(t: pa.Table) -> pa.Table:
-        k = t.column(key).to_numpy(zero_copy_only=False)
-        if k.dtype.kind not in "iu":
-            k = np.array([hash(v) for v in k], dtype=np.int64)
-        return t.append_column("__part",
-                               pa.array(_part(k, nparts)))
+        return t.append_column(
+            "__part", pa.array(_bucket_key(t, key, nparts)))
 
     def resolve(t: pa.Table) -> pa.Table:
         t = t.drop_columns(["__part"])
@@ -179,10 +190,8 @@ def spherical_polygon_area(ds, key: str = "polygon_id",
     nparts = num_partitions or derive_num_partitions(ds, default=32)
 
     def add_part(t: pa.Table) -> pa.Table:
-        k = t.column(key).to_numpy(zero_copy_only=False)
-        if k.dtype.kind not in "iu":
-            k = np.array([hash(v) for v in k], dtype=np.int64)
-        return t.append_column("__part", pa.array(_part(k, nparts)))
+        return t.append_column(
+            "__part", pa.array(_bucket_key(t, key, nparts)))
 
     def resolve(t: pa.Table) -> pa.Table:
         t = t.drop_columns(["__part"])
@@ -266,10 +275,8 @@ def simplify_tracks(ds, key: str = "doc_id", seq: str = "offset",
     nparts = num_partitions or derive_num_partitions(ds, default=32)
 
     def add_part(t: pa.Table) -> pa.Table:
-        k = t.column(key).to_numpy(zero_copy_only=False)
-        if k.dtype.kind not in "iu":
-            k = np.array([hash(v) for v in k], dtype=np.int64)
-        return t.append_column("__part", pa.array(_part(k, nparts)))
+        return t.append_column(
+            "__part", pa.array(_bucket_key(t, key, nparts)))
 
     def resolve(t: pa.Table) -> pa.Table:
         t = t.drop_columns(["__part"])
@@ -311,10 +318,8 @@ def polygon_perimeter(ds, key: str = "polygon_id", seq: str = "seq",
     nparts = num_partitions or derive_num_partitions(ds, default=32)
 
     def add_part(t: pa.Table) -> pa.Table:
-        k = t.column(key).to_numpy(zero_copy_only=False)
-        if k.dtype.kind not in "iu":
-            k = np.array([hash(v) for v in k], dtype=np.int64)
-        return t.append_column("__part", pa.array(_part(k, nparts)))
+        return t.append_column(
+            "__part", pa.array(_bucket_key(t, key, nparts)))
 
     def resolve(t: pa.Table) -> pa.Table:
         t = t.drop_columns(["__part"])
@@ -395,10 +400,8 @@ def geodesic_polygon_area(ds, key: str = "polygon_id", seq: str = "seq",
     nparts = num_partitions or derive_num_partitions(ds, default=32)
 
     def add_part(t: pa.Table) -> pa.Table:
-        k = t.column(key).to_numpy(zero_copy_only=False)
-        if k.dtype.kind not in "iu":
-            k = np.array([hash(v) for v in k], dtype=np.int64)
-        return t.append_column("__part", pa.array(_part(k, nparts)))
+        return t.append_column(
+            "__part", pa.array(_bucket_key(t, key, nparts)))
 
     def resolve(t: pa.Table) -> pa.Table:
         t = t.drop_columns(["__part"])

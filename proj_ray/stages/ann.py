@@ -12,10 +12,15 @@
 
 from __future__ import annotations
 
-from typing import Dict
+from typing import Dict, Sequence, Tuple
 
 import numpy as np
-import pandas as pd
+import pyarrow as pa
+
+_EMPTY_SCORES = pa.table({
+    "query_id": pa.array([], type=pa.int64()),
+    "vec_id": pa.array([], type=pa.int64()),
+    "cosine": pa.array([], type=pa.float64())})
 
 
 def _normalize(mat: np.ndarray) -> np.ndarray:
@@ -24,7 +29,9 @@ def _normalize(mat: np.ndarray) -> np.ndarray:
 
 class BruteANN:
     """Holds the broadcast query matrix; built once per worker via
-    worker_cache (task pool — no actor spin-up per query)."""
+    worker_cache (task pool — no actor spin-up per query).  Arrow
+    batches: the embedding matrix is built zero-copy from the list
+    column (r4 VERDICT ask #4 — no pandas round-trip)."""
 
     def __init__(self, qmat_ref, qids_ref, k: int):
         from proj_ray.stages.worker_cache import get_broadcast
@@ -33,42 +40,72 @@ class BruteANN:
         self.qids = get_broadcast(qids_ref)
         self.k = k
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        emb = _normalize(np.vstack(batch["embedding"].to_numpy())
-                         .astype(np.float64))
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from proj_ray.stages.cluster import _emb_matrix
+
+        if len(t) == 0:
+            return _EMPTY_SCORES
+        emb = _normalize(_emb_matrix(t, "embedding"))
         sims = self.q @ emb.T  # (nq, batch)
-        vids = batch["vec_id"].to_numpy()
+        vids = t.column("vec_id").to_numpy(zero_copy_only=False)
         k = min(self.k, sims.shape[1])
-        out = {"query_id": [], "vec_id": [], "cosine": []}
-        part = np.argpartition(-sims, k - 1, axis=1)[:, :k]
-        for qi in range(len(self.qids)):
-            sel = part[qi]
-            out["query_id"].extend([self.qids[qi]] * k)
-            out["vec_id"].extend(vids[sel])
-            out["cosine"].extend(sims[qi, sel])
-        return pd.DataFrame({
-            "query_id": np.asarray(out["query_id"], dtype=np.int64),
-            "vec_id": np.asarray(out["vec_id"], dtype=np.int64),
-            "cosine": np.round(np.asarray(out["cosine"]), 9),
-        })
+        part = np.argpartition(-sims, k - 1, axis=1)[:, :k]  # (nq, k)
+        qidx = np.repeat(np.arange(len(self.qids)), k)
+        sel = part.reshape(-1)
+        return pa.table({
+            "query_id": pa.array(self.qids[qidx].astype(np.int64)),
+            "vec_id": pa.array(vids[sel].astype(np.int64)),
+            "cosine": pa.array(np.round(sims[qidx, sel], 9))})
 
 
-def _merge_topk(g: pd.DataFrame, k: int) -> pd.DataFrame:
-    g = g.sort_values(["cosine", "vec_id"],
-                      ascending=[False, True]).head(k).copy()
-    g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-    return g
+def fanin_topk(partial, k: int, group_col: str = "query_id",
+               sort_keys: Sequence[Tuple[str, bool]] = (
+                   ("cosine", False), ("vec_id", True)),
+               rank_col: str = "rank", fanout: int = 32):
+    """Distributed per-group top-k merge (r4 VERDICT ask #3): the
+    partial-score stream hash-partitions by the integer group key so
+    every group's candidates meet in exactly ONE partition, where a
+    single vectorized lexsort ranks them — the driver never sees a
+    candidate row (the old `_driver_merge` pulled n_blocks*nq*k rows
+    and ran a per-query pandas apply, linear in block count at 100 TB).
 
+    sort_keys: (column, ascending) per tie-break level; descending
+    levels must be numeric (negation trick)."""
 
-def _driver_merge(partial, k: int):
-    import ray.data as rd
+    def add_part(t: pa.Table) -> pa.Table:
+        g = t.column(group_col).to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        part = ((g * np.uint64(0x9E3779B97F4A7C15))
+                % np.uint64(fanout)).astype(np.int64)
+        return t.append_column("__part", pa.array(part))
 
-    df = partial.to_pandas()
-    if len(df) == 0:
-        return rd.from_pandas(df)
-    merged = df.groupby("query_id", group_keys=False)[df.columns].apply(
-        lambda g: _merge_topk(g, k)).reset_index(drop=True)
-    return rd.from_pandas(merged)
+    def merge(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["__part"])
+        n = len(t)
+        if n == 0:
+            return t.append_column(rank_col,
+                                   pa.array([], type=pa.int64()))
+        gid = t.column(group_col).to_numpy(zero_copy_only=False)
+        # np.lexsort: LAST key is primary -> least-significant first
+        arrs = []
+        for col, asc in reversed(list(sort_keys)):
+            v = t.column(col).to_numpy(zero_copy_only=False)
+            arrs.append(v if asc else -v)
+        arrs.append(gid)
+        order = np.lexsort(arrs)
+        g_s = gid[order]
+        new = np.empty(n, dtype=bool)
+        new[0] = True
+        new[1:] = g_s[1:] != g_s[:-1]
+        starts = np.flatnonzero(new)
+        runs = np.diff(np.append(starts, n))
+        rank = np.arange(n, dtype=np.int64) - np.repeat(starts, runs)
+        keep = rank < k
+        out = t.take(pa.array(order[keep]))
+        return out.append_column(rank_col, pa.array(rank[keep] + 1))
+
+    return partial.map_batches(add_part, batch_format="pyarrow") \
+        .groupby("__part").map_groups(merge, batch_format="pyarrow")
 
 
 def ann_brute_topk(emb_ds, queries: Dict, k: int = 5, concurrency: int = 2):
@@ -80,8 +117,8 @@ def ann_brute_topk(emb_ds, queries: Dict, k: int = 5, concurrency: int = 2):
     iref = ray.put(np.asarray(queries["query_id"], dtype=np.int64))
     partial = emb_ds.map_batches(
         _cached_fn(BruteANN, qref, iref, k),
-        batch_format="pandas", batch_size=8192)
-    return _driver_merge(partial, k)
+        batch_format="pyarrow", batch_size=8192)
+    return fanin_topk(partial, k)
 
 
 def _cached_fn(cls, *args):
@@ -145,20 +182,19 @@ class IVFScorer:
                         probe.reshape(-1)] = True
         self.any_probed = self.probe_mask.any(axis=0)
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        emb = _normalize(np.vstack(batch["embedding"].to_numpy())
-                         .astype(np.float64))
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from proj_ray.stages.cluster import _emb_matrix
+
+        if len(t) == 0:
+            return _EMPTY_SCORES
+        emb = _normalize(_emb_matrix(t, "embedding"))
         buckets = np.argmax(emb @ self.cent.T, axis=1)
         keep = self.any_probed[buckets]
-        empty = pd.DataFrame({
-            "query_id": pd.Series([], dtype="int64"),
-            "vec_id": pd.Series([], dtype="int64"),
-            "cosine": pd.Series([], dtype="float64")})
         if not keep.any():
-            return empty
+            return _EMPTY_SCORES
         emb = emb[keep]
         buckets = buckets[keep]
-        vids = batch["vec_id"].to_numpy()[keep]
+        vids = t.column("vec_id").to_numpy(zero_copy_only=False)[keep]
         sims = self.q @ emb.T                        # (nq, m)
         mask = self.probe_mask[:, buckets]           # (nq, m)
         sims = np.where(mask, sims, -np.inf)
@@ -170,12 +206,11 @@ class IVFScorer:
         cos = sims[qidx, sel]
         ok = np.isfinite(cos)
         if not ok.any():
-            return empty
-        return pd.DataFrame({
-            "query_id": self.qids[qidx[ok]].astype(np.int64),
-            "vec_id": vids[sel[ok]].astype(np.int64),
-            "cosine": np.round(cos[ok], 9),
-        })
+            return _EMPTY_SCORES
+        return pa.table({
+            "query_id": pa.array(self.qids[qidx[ok]].astype(np.int64)),
+            "vec_id": pa.array(vids[sel[ok]].astype(np.int64)),
+            "cosine": pa.array(np.round(cos[ok], 9))})
 
 
 def train_centroids(emb_ds, n_centroids: int = 16,
@@ -186,17 +221,26 @@ def train_centroids(emb_ds, n_centroids: int = 16,
     The sample is selected by vec_id hash, not random_sample, so the
     same corpus always yields the same centroids regardless of block
     layout — index builds and streaming probes agree byte-for-byte."""
+    import ray
+
+    from proj_ray.stages.cluster import _emb_matrix
+
     mod = max(2, int(round(1.0 / max(sample_fraction, 1e-6))))
 
-    def pick(batch: pd.DataFrame) -> pd.DataFrame:
-        vid = batch["vec_id"].to_numpy().astype(np.uint64)
+    def pick(t: pa.Table) -> pa.Table:
+        vid = t.column("vec_id").to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
         h = (vid * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
-        return batch[(h % np.uint64(mod)) == 0]
+        return t.filter(pa.array((h % np.uint64(mod)) == 0))
 
-    sample = emb_ds.map_batches(pick, batch_format="pandas").to_pandas() \
-        .sort_values("vec_id")  # block order must not leak into init
-    smat = _normalize(np.vstack(sample["embedding"].to_numpy())
-                      .astype(np.float64))
+    tbl = pa.concat_tables(
+        ray.get(emb_ds.map_batches(pick, batch_format="pyarrow")
+                .to_arrow_refs()),
+        promote_options="default")
+    # block order must not leak into the seeding
+    order = np.argsort(tbl.column("vec_id")
+                       .to_numpy(zero_copy_only=False))
+    smat = _normalize(_emb_matrix(tbl, "embedding")[order])
     return kmeans_lite(smat, n_centroids)
 
 
@@ -219,8 +263,8 @@ def ann_ivf_topk(emb_ds, queries: Dict, k: int = 5, n_centroids: int = 16,
             ray.put(probe), ray.put(cent))
     partial = emb_ds.map_batches(
         _cached_fn(IVFScorer, *refs, k),
-        batch_format="pandas", batch_size=8192)
-    return _driver_merge(partial, k)
+        batch_format="pyarrow", batch_size=8192)
+    return fanin_topk(partial, k)
 
 
 def ivf_build(emb_ds, index_dir: str, n_centroids: int = 16,
@@ -234,13 +278,14 @@ def ivf_build(emb_ds, index_dir: str, n_centroids: int = 16,
 
     cent = train_centroids(emb_ds, n_centroids, sample_fraction)
 
-    def assign(batch: pd.DataFrame) -> pd.DataFrame:
-        emb = _normalize(np.vstack(batch["embedding"].to_numpy())
-                         .astype(np.float64))
-        batch["bucket"] = np.argmax(emb @ cent.T, axis=1).astype(np.int64)
-        return batch
+    def assign(t: pa.Table) -> pa.Table:
+        from proj_ray.stages.cluster import _emb_matrix
 
-    emb_ds.map_batches(assign, batch_format="pandas").write_parquet(
+        emb = _normalize(_emb_matrix(t, "embedding"))
+        b = np.argmax(emb @ cent.T, axis=1).astype(np.int64)
+        return t.append_column("bucket", pa.array(b))
+
+    emb_ds.map_batches(assign, batch_format="pyarrow").write_parquet(
         index_dir, partition_cols=["bucket"])
     np.save(f"{index_dir}/centroids.npy", cent)
     return cent
@@ -269,5 +314,5 @@ def ann_ivf_topk_indexed(index_dir: str, queries: Dict, k: int = 5,
     cref = ray.put(cent)
     partial = ds.map_batches(
         _cached_fn(IVFScorer, qref, iref, pref, cref, k),
-        batch_format="pandas", batch_size=8192)
-    return _driver_merge(partial, k)
+        batch_format="pyarrow", batch_size=8192)
+    return fanin_topk(partial, k)

@@ -94,19 +94,20 @@ def grouped_mode(ds, key: str, value: str, out_count: str = "n"):
 
 
 def tfidf_terms(ds, id_col: str, text_col: str, min_tf: int = 3,
-                pattern: str = " "):
+                pattern: str = " ", num_partitions: int | None = None):
     """Per-document TF-IDF term scores: tfidf = tf * ln(N / df).
 
-    Shape: documents are whole rows, so term frequencies resolve
-    inside each batch with one Arrow hash-count (no shuffle); document
-    frequencies need one token-keyed shuffle of per-batch (token,
-    distinct-docs) partials; the resulting df table is vocabulary-
-    bounded and broadcasts for the final stateless scoring pass.  Rows
-    filter on the exact integer tf >= min_tf."""
-    import ray
-
-    from proj_ray.stages.agg import hash_shuffle_aggregate
-    from proj_ray.stages.worker_cache import get_broadcast
+    100-TB shape (r4 VERDICT ask #2 — no driver vocab table):
+    documents are whole rows, so term frequencies resolve inside each
+    batch with one Arrow hash-count; the (doc, term, tf) stream then
+    hash-partitions BY TERM, so every partition holds ALL rows of its
+    terms and df(term) is just the partition-local row count per term
+    (one dictionary-encode + bincount — exact on strings, no sort).
+    The score is computed in place inside the shuffle; nothing
+    token-keyed ever reaches the driver.  Rows filter on the exact
+    integer tf >= min_tf."""
+    from proj_ray.stages.agg import crc_bucket
+    from proj_ray.stages.partitioning import derive_num_partitions
 
     def _doc_tokens(t: pa.Table):
         import pyarrow.compute as pc
@@ -129,49 +130,42 @@ def tfidf_terms(ds, id_col: str, text_col: str, min_tf: int = 3,
         return out.rename_columns([id_col, "tok", "tf"])
 
     tf = ds.map_batches(tf_batch, batch_format="pyarrow")
-
-    def df_batch(t: pa.Table) -> pa.Table:
-        # (tok, df) partial: each doc lives in exactly one batch, so
-        # per-batch distinct-doc counts sum to the global df
-        return pa.table({"tok": t.column("tok"),
-                         "df": pa.array(np.ones(len(t),
-                                                dtype=np.int64))})
-
-    # combine tree, not a hash shuffle: the df table is pulled to the
-    # driver for the scoring broadcast two lines down, so the
-    # vocab-fits-one-task assumption already governs this op and the
-    # narrow fan-in exchange is strictly cheaper than a sort-based
-    # groupby (same reasoning as dedup.py's shingle-df table)
-    from proj_ray.stages.agg import tree_aggregate
-
-    df_tbl = tree_aggregate(
-        tf.map_batches(df_batch, batch_format="pyarrow"),
-        ["tok"], [("df", "sum")], fanout=8, max_keys=None).materialize()
-    dfs = pa.concat_tables(ray.get(df_tbl.to_arrow_refs()),
-                           promote_options="default")
     n_docs = ds.count()
-    order = np.argsort(np.asarray(dfs.column("tok")))
-    vocab = np.asarray(dfs.column("tok"))[order]
-    dfv = dfs.column("df").to_numpy(zero_copy_only=False)[order]
-    df_ref = ray.put((vocab, dfv))
+    nparts = num_partitions or derive_num_partitions(ds, default=64)
+
+    def add_part(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "__part", pa.array(crc_bucket(t.column("tok"), nparts)))
 
     def score(t: pa.Table) -> pa.Table:
-        vocab, dfv = get_broadcast(df_ref)
+        import pyarrow.compute as pc
+
+        t = t.drop_columns(["__part"])
+        if len(t) == 0:
+            return pa.table({
+                id_col: t.column(id_col), "tok": t.column("tok"),
+                "tf": t.column("tf"),
+                "tfidf": pa.array([], type=pa.float64())})
+        # df(term) = rows per term here: the tf stream carries exactly
+        # one row per (doc, term) (docs are whole rows, tf_batch
+        # dedupes within the batch) and this partition holds every
+        # row of its terms
+        enc = t.column("tok").combine_chunks().dictionary_encode()
+        idx = enc.indices.to_numpy(zero_copy_only=False)
+        dfv = np.bincount(idx, minlength=len(enc.dictionary))
         tfv = t.column("tf").to_numpy(zero_copy_only=False)
         keep = tfv >= min_tf
-        t2 = t.filter(pa.array(keep))
-        toks = np.asarray(t2.column("tok"))
-        pos = np.searchsorted(vocab, toks)
-        tfidf = t2.column("tf").to_numpy(zero_copy_only=False) \
-            * np.log(n_docs / dfv[pos])
+        tfidf = tfv * np.log(n_docs / dfv[idx])
+        kmask = pa.array(keep)
         return pa.table({
-            id_col: t2.column(id_col),
-            "tok": t2.column("tok"),
-            "tf": t2.column("tf"),
-            "tfidf": pa.array(np.round(tfidf, 6)),
+            id_col: t.column(id_col).filter(kmask),
+            "tok": t.column("tok").filter(kmask),
+            "tf": t.column("tf").filter(kmask),
+            "tfidf": pa.array(np.round(tfidf[keep], 6)),
         })
 
-    return tf.map_batches(score, batch_format="pyarrow")
+    return tf.map_batches(add_part, batch_format="pyarrow") \
+        .groupby("__part").map_groups(score, batch_format="pyarrow")
 
 
 def _mg_merge(tok: np.ndarray, cnt: np.ndarray, k: int):

@@ -569,11 +569,27 @@ def copartition_agg_join(left_ds, right_ds, on: str,
             ukeys = rks
             starts = ends = np.zeros(0, dtype=np.int64)
         sums = {}
+        rtake = pa.array(rpos)
         for c in agg_cols:
-            v = t.column(c).to_numpy(zero_copy_only=False)[rpos][order]
-            v = np.nan_to_num(v.astype(np.float64), nan=0.0) \
-                if v.dtype.kind == "f" else v.astype(np.float64)
-            csum = np.concatenate([[0.0], np.cumsum(v)])
+            # slice the right rows in Arrow BEFORE to_numpy: the
+            # unioned column carries nulls on the left side, and a
+            # whole-column to_numpy would promote int64 -> float64
+            col = pc.take(t.column(c), rtake)
+            if pa.types.is_integer(col.type):
+                # keep integer sums exact in int64 (a float64 cumsum
+                # silently loses precision past 2^53); null partials
+                # are skipped per SQL SUM
+                if col.null_count:
+                    col = pc.fill_null(col, 0)
+                v = col.to_numpy(zero_copy_only=False)[order]
+                csum = np.concatenate(
+                    [[0], np.cumsum(v, dtype=np.int64)])
+            else:
+                v = col.to_numpy(zero_copy_only=False)[order]
+                # NaN here means SQL NULL (Arrow->numpy null fill);
+                # SUM skips NULLs, so zero them before the prefix sum
+                v = np.nan_to_num(v.astype(np.float64), nan=0.0)
+                csum = np.concatenate([[0.0], np.cumsum(v)])
             sums[c] = csum[ends] - csum[starts]
         lk = k[lpos]
         pos = np.searchsorted(ukeys, lk)
@@ -592,13 +608,14 @@ def copartition_agg_join(left_ds, right_ds, on: str,
             cols[c] = pc.take(t.column(c), ltake)
         for c in agg_cols:
             arr_np = sums[c][hidx] if len(ukeys) \
-                else np.zeros(len(lkeep))
+                else np.zeros(len(lkeep), dtype=sums[c].dtype)
             if how == "inner":
                 cols[c] = pa.array(arr_np)
             else:
                 mask = ~hit
                 cols[c] = pa.array(
-                    np.where(hit, arr_np, 0.0), mask=mask)
+                    np.where(hit, arr_np, arr_np.dtype.type(0)),
+                    mask=mask)
         out = pa.table({c: (cols[c].cast(agg_types[c])
                             if c in agg_cols and
                             pa.types.is_integer(agg_types[c])

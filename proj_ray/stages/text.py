@@ -338,10 +338,14 @@ def unigram_nll_batch(t: pa.Table, vocab: np.ndarray,
     counts = np.diff(off)
     h = rolling_hash_batch(flat)
     if len(h):
-        p = np.searchsorted(vocab, h)
-        pc_ = np.minimum(p, max(len(vocab) - 1, 0))
-        c = np.where((len(vocab) > 0) & (vocab[pc_] == h),
-                     cnts[pc_] if len(vocab) else 0, 0)
+        if len(vocab) == 0:
+            # no-vocab corpus: every token is unseen (c = 0) — the
+            # vocab[pc_] index below would raise on an empty array
+            c = np.zeros(len(h))
+        else:
+            p = np.searchsorted(vocab, h)
+            pc_ = np.minimum(p, len(vocab) - 1)
+            c = np.where(vocab[pc_] == h, cnts[pc_], 0)
         nll = -np.log((c + alpha) / denom)
         doc_idx = np.repeat(np.arange(len(t)), counts)
         tot = np.bincount(doc_idx, weights=nll, minlength=len(t))
@@ -350,3 +354,173 @@ def unigram_nll_batch(t: pa.Table, vocab: np.ndarray,
     with np.errstate(invalid="ignore", divide="ignore"):
         mean = np.where(counts > 0, tot / counts, 0.0)
     return counts, mean
+
+
+# ---------------------------------------------------------------------------
+# Token-shuffled unigram NLL — the 100-TB path (no driver vocab table)
+# ---------------------------------------------------------------------------
+#
+# The broadcast path above (`unigram_logprob`) pulls the corpus unigram
+# frequency table to the driver and `ray.put`s it; token vocabulary
+# grows with the corpus (Heaps' law — ~10^9..10^10 distinct hashed
+# tokens at 10^12 docs), so that table is NOT a broadcastable side.
+# The functions below keep the vocabulary distributed:
+#
+#   1. per-batch (doc_id, token_hash, m) partials — each document is
+#      one row, so its term frequencies resolve inside the batch;
+#   2. hash-partition that stream BY TOKEN: every partition holds ALL
+#      occurrences of its tokens, so the global count c(tok) is a
+#      segment sum inside the partition and each row's contribution
+#      m * ln(c + alpha) is computed in place;
+#   3. re-key by document: per-partition per-doc partials (s, n) are
+#      summed with a doc-hash shuffle;
+#   4. the two scalars T (total tokens) and V (distinct tokens) reduce
+#      through per-bucket stat rows — only O(num_buckets) rows ever
+#      reach the driver.
+#
+# mean_nll(doc) = ln(T + alpha*V) - (1/n) * sum_tokens m * ln(c + alpha)
+# which equals avg(-ln((c + alpha) / (T + alpha*V))) exactly.
+
+
+def _tok_part(h: np.ndarray, n: int) -> np.ndarray:
+    """Deterministic partition of uint64 token hashes (multiplicative
+    hash — process-independent, unlike Python hash())."""
+    x = (h.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) \
+        >> np.uint64(64 - 16)
+    return (x % np.uint64(n)).astype(np.int64)
+
+
+def doc_token_partials(t: pa.Table, text_col: str = "text",
+                       id_col: str = "doc_id") -> pa.Table:
+    """One batch -> (id_col, tok, m): per-document token-hash counts
+    (documents are whole rows, so the counts are globally exact and
+    the stream carries exactly one row per (doc, token))."""
+    import pyarrow.compute as pc
+
+    from proj_ray.stages.hashing import rolling_hash_batch
+
+    toks = pc.split_pattern(pc.fill_null(t.column(text_col), ""), " ")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    counts = np.diff(toks.offsets.to_numpy(zero_copy_only=False))
+    h = rolling_hash_batch(toks.flatten())
+    doc_idx = np.repeat(np.arange(len(t)), counts)
+    order = np.lexsort((h, doc_idx))
+    dh, hh = doc_idx[order], h[order]
+    n = len(dh)
+    if n == 0:
+        return pa.table({id_col: t.column(id_col).slice(0, 0),
+                         "tok": pa.array([], type=pa.uint64()),
+                         "m": pa.array([], type=pa.int64())})
+    first = np.empty(n, dtype=bool)
+    first[0] = True
+    first[1:] = (dh[1:] != dh[:-1]) | (hh[1:] != hh[:-1])
+    starts = np.flatnonzero(first)
+    m = np.diff(np.append(starts, n))
+    return pa.table({
+        id_col: pc.take(t.column(id_col), pa.array(dh[starts])),
+        "tok": pa.array(hh[starts]),
+        "m": pa.array(m.astype(np.int64))})
+
+
+def corpus_token_scalars(ds, text_col: str = "text",
+                         num_buckets: int | None = None):
+    """(T, V): total token count and EXACT distinct-token count, with
+    per-batch (tok, c) combiners, one token-hash shuffle, and only one
+    stat row per bucket leaving the cluster."""
+    from proj_ray.stages.agg import hash_shuffle_aggregate
+    from proj_ray.stages.partitioning import derive_num_partitions
+
+    nb = num_buckets or derive_num_partitions(ds, default=64)
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        from proj_ray.stages.hashing import rolling_hash_batch
+
+        toks = pc.split_pattern(pc.fill_null(t.column(text_col), ""),
+                                " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        h = rolling_hash_batch(toks.flatten())
+        u, c = np.unique(h, return_counts=True)
+        return pa.table({"tok": pa.array(u),
+                         "c": pa.array(c.astype(np.int64))})
+
+    freq = hash_shuffle_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["tok"], [("c", "sum")], num_buckets=nb)
+
+    def stats(t: pa.Table) -> pa.Table:
+        c = t.column("c").to_numpy(zero_copy_only=False)
+        return pa.table({"V": pa.array([len(t)], type=pa.int64()),
+                         "T": pa.array([int(c.sum())],
+                                       type=pa.int64())})
+
+    agg = freq.map_batches(stats, batch_format="pyarrow") \
+        .sum(["V", "T"])
+    return int(agg["sum(T)"]), int(agg["sum(V)"])
+
+
+def unigram_nll_partials(ds, text_col: str = "text",
+                         id_col: str = "doc_id", alpha: float = 1.0,
+                         num_partitions: int | None = None):
+    """Token-partitioned contribution fold: Dataset of per-doc
+    PARTIALS (id_col, s, n) with s = sum m*ln(c_tok + alpha), n =
+    sum m — at most one row per (doc, token-partition), ready for a
+    doc-keyed sum (`copartition_agg_join` or `hash_shuffle_aggregate`)."""
+    from proj_ray.stages.agg import combine_block
+    from proj_ray.stages.partitioning import derive_num_partitions
+
+    nparts = num_partitions or derive_num_partitions(ds, default=64)
+
+    def partial(t: pa.Table) -> pa.Table:
+        out = doc_token_partials(t, text_col, id_col)
+        tok = out.column("tok").to_numpy(zero_copy_only=False)
+        return out.append_column("__part",
+                                 pa.array(_tok_part(tok, nparts)))
+
+    def resolve(t: pa.Table) -> pa.Table:
+        tok = t.column("tok").to_numpy(zero_copy_only=False)
+        m = t.column("m").to_numpy(zero_copy_only=False)
+        u, inv = np.unique(tok, return_inverse=True)
+        c = np.bincount(inv, weights=m)      # exact below 2^53 tokens
+        contrib = m * np.log(c[inv] + alpha)
+        out = pa.table({id_col: t.column(id_col),
+                        "s": pa.array(contrib),
+                        "n": pa.array(m.astype(np.int64))})
+        return combine_block(out, [id_col],
+                             [("s", "sum"), ("n", "sum")])
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("__part").map_groups(resolve, batch_format="pyarrow")
+
+
+def unigram_logprob_shuffled(ds, text_col: str = "text",
+                             id_col: str = "doc_id",
+                             alpha: float = 1.0,
+                             num_partitions: int | None = None):
+    """Exact per-document (id_col, n_tok, mean_nll) with the vocabulary
+    kept distributed end to end — the scale-safe replacement for
+    `unigram_logprob` (same values, same rounding)."""
+    from proj_ray.stages.agg import hash_shuffle_aggregate
+    from proj_ray.stages.partitioning import derive_num_partitions
+
+    nparts = num_partitions or derive_num_partitions(ds, default=64)
+    T, V = corpus_token_scalars(ds, text_col, num_buckets=nparts)
+    ln_denom = float(np.log(T + alpha * V)) if T + alpha * V > 0 \
+        else 0.0
+    per_doc = hash_shuffle_aggregate(
+        unigram_nll_partials(ds, text_col, id_col, alpha, nparts),
+        [id_col], [("s", "sum"), ("n", "sum")], num_buckets=nparts)
+
+    def finish(t: pa.Table) -> pa.Table:
+        s = t.column("s").to_numpy(zero_copy_only=False)
+        n = t.column("n").to_numpy(zero_copy_only=False)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            mean = np.where(n > 0, ln_denom - s / n, 0.0)
+        return pa.table({id_col: t.column(id_col),
+                         "n_tok": pa.array(n.astype(np.int64)),
+                         "mean_nll": pa.array(np.round(mean, 9))})
+
+    return per_doc.map_batches(finish, batch_format="pyarrow")

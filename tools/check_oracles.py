@@ -1,9 +1,12 @@
 #!/usr/bin/env python
 """Local stand-in for the driver's correctness gate: run every
 queries() entry and its oracle_sql() twin on the same sf dir, compare
-row count, schema width and order-insensitive values.
+row count, schema width, order-insensitive values AND dtype kinds
+(the driver's value-hash is byte-exact, so an engine int64 vs an
+oracle HUGEINT->float64 fails there even when values match — r4's two
+red rows; the local gate must be at least as strict).
 
-Usage: python tools/check_oracles.py [sf_dir] [query ...]
+Usage: python tools/check_oracles.py [--json OUT.json] [sf_dir] [query ...]
 """
 
 from __future__ import annotations
@@ -48,6 +51,10 @@ def compare(name, mine: pd.DataFrame, want: pd.DataFrame) -> str:
     b = canon(want)
     for c in a.columns:
         av, bv = a[c].to_numpy(), b[c].to_numpy()
+        if av.dtype.kind != bv.dtype.kind:
+            return (f"DTYPE col {c}: {av.dtype} vs {bv.dtype} "
+                    f"(driver value-hash is byte-exact — cast the "
+                    f"oracle or the engine output)")
         if av.dtype.kind == "f" or bv.dtype.kind == "f":
             ok = np.allclose(av.astype(float), bv.astype(float),
                              atol=0, rtol=0, equal_nan=True)
@@ -63,8 +70,13 @@ def compare(name, mine: pd.DataFrame, want: pd.DataFrame) -> str:
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    argv = sys.argv[1:]
+    json_out = None
+    if argv and argv[0] == "--json":
+        json_out = argv[1]
+        argv = argv[2:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
+    only = set(argv[1:])
 
     import ray
 
@@ -88,6 +100,7 @@ def main():
             f"read_parquet('{sf_dir}/{t}.parquet')")
 
     failures = 0
+    results = {}
     for name, fn in queries.items():
         if only and name not in only:
             continue
@@ -96,22 +109,51 @@ def main():
         except Exception as e:
             print(f"{name:24s} ENGINE ERROR: {type(e).__name__}: {e}")
             failures += 1
+            results[name] = {"rows_match": None, "schema_match": None,
+                             "hash_match": None, "engine_rows": None,
+                             "oracle_rows": None,
+                             "err": f"engine: {type(e).__name__}: {e}"}
             continue
         if name not in oracles:
             print(f"{name:24s} rows-only ({len(mine)} rows)")
+            results[name] = {"rows_match": None, "schema_match": None,
+                             "hash_match": None,
+                             "engine_rows": int(len(mine)),
+                             "oracle_rows": None, "err": "no_oracle"}
             continue
         try:
             want = con.execute(oracles[name]).df()
         except Exception as e:
             print(f"{name:24s} ORACLE ERROR: {type(e).__name__}: {e}")
             failures += 1
+            results[name] = {"rows_match": None, "schema_match": None,
+                             "hash_match": None,
+                             "engine_rows": int(len(mine)),
+                             "oracle_rows": None,
+                             "err": f"oracle: {type(e).__name__}: {e}"}
             continue
         verdict = compare(name, mine, want)
         status = "ok" if verdict == "OK" else "FAIL"
         if verdict != "OK":
             failures += 1
+        results[name] = {
+            "rows_match": len(mine) == len(want),
+            "schema_match": sorted(mine.columns) == sorted(want.columns),
+            "hash_match": verdict == "OK",
+            "engine_rows": int(len(mine)), "oracle_rows": int(len(want)),
+            "err": None if verdict == "OK" else verdict}
         print(f"{name:24s} {status}  ({len(mine)} rows)"
               + ("" if verdict == "OK" else f"  {verdict}"))
+    if json_out:
+        import json
+
+        with open(json_out, "w") as f:
+            json.dump({"sf_dir": sf_dir,
+                       "num_queries": len(results),
+                       "failures": failures,
+                       "results": results}, f, indent=1)
+        print(f"wrote {json_out} ({len(results)} queries, "
+              f"{failures} failures)")
     ray.shutdown()
     sys.exit(1 if failures else 0)
 
