@@ -1297,3 +1297,127 @@ def crs_to_crs(src, dst, always_xy: bool = True):
         raise ProjError("crs_to_crs: only always_xy=True (lon,lat "
                         "order) is supported")
     return create_operation(f"+proj=pipeline +step +inv {s} +step {d}")
+
+
+# ---------------------------------------------------------------------------
+# Prepared operations: CRS pair -> candidate ladder (cs2cs parity)
+# ---------------------------------------------------------------------------
+
+
+def _strip_towgs84(defn: str) -> str:
+    return re.sub(r"\s\+?towgs84=\S+", "", " " + defn).strip()
+
+
+def _reproject_bbox(defn: str, w: float, s: float, e: float, n: float):
+    """Project a lon/lat area-of-use box into the CRS's own coordinates
+    by sampling a 20-step grid along each edge — the vectorized mirror
+    of the reference's reproject_bbox (src/4D_api.cpp:1645-1692).
+    Whole-world boxes become unbounded (reference: +/-DBL_MAX); a box
+    none of whose samples transform returns None (the reference drops
+    the candidate when minx > maxx)."""
+    import numpy as np
+
+    from proj_ray.pipeline import create_operation, transform_arrays
+
+    if (w, s, e, n) == (-180.0, -90.0, 180.0, 90.0):
+        return (-np.inf, -np.inf, np.inf, np.inf)
+    steps = 20
+    lon_edge = np.linspace(w, e, steps + 1)
+    lat_edge = np.linspace(s, n, steps + 1)
+    x = np.concatenate([lon_edge, lon_edge,
+                        np.full(steps + 1, w), np.full(steps + 1, e)])
+    y = np.concatenate([np.full(steps + 1, s), np.full(steps + 1, n),
+                        lat_edge, lat_edge])
+    p = create_operation(defn)
+    c = transform_arrays(p, x, y)
+    ok = (c.err == 0) & np.isfinite(c.x) & np.isfinite(c.y)
+    if not ok.any():
+        return None
+    return (float(c.x[ok].min()), float(c.y[ok].min()),
+            float(c.x[ok].max()), float(c.y[ok].max()))
+
+
+def prepared_crs_to_crs(src, dst, datum_ops=None, always_xy: bool = True):
+    """CRS pair -> per-point candidate ladder: the engine analogue of
+    proj_create_crs_to_crs + pj_create_prepared_operations (reference
+    src/4D_api.cpp:1953-2046).  Returns an ``AltOperation``
+    (opselect.py) — pipeline-compatible, usable anywhere
+    ``create_operation``'s result is.
+
+    Without an EPSG database, the candidate *datum* operations are an
+    explicit list (the engine contract, SURVEY §2.7): each entry is a
+    dict describing one source-datum -> hub (WGS84) alternative, with
+
+      towgs84:  3/7 Helmert parameters, applied on the source leg
+      hgrids:   grid name(s) for a ``+proj=hgridshift`` hub step
+      bbox:     (west, south, east, north) lon/lat area of use
+      accuracy: metres (omit or -1 = unknown)
+      name / offshore / priority: passthrough flags
+
+    Like the reference, each candidate's lon/lat area of use is
+    reprojected into src/dst coordinates by boundary sampling
+    (``_reproject_bbox``), antimeridian-crossing boxes (west > east)
+    split into two candidates (4D_api.cpp:2023-2040), and candidates
+    whose box collapses under reprojection are dropped.  An empty list
+    yields the single whole-world crs_to_crs composition flagged
+    unknown_area — the ballpark fallback."""
+    from proj_ray.opselect import Candidate
+
+    def to_defn(v) -> str:
+        if isinstance(v, str) and (v.lstrip().startswith("+")
+                                   or v.lstrip().startswith("proj=")):
+            return v.strip()
+        return CRS.from_user_input(v).to_proj_string()
+
+    if not always_xy:
+        raise ProjError("prepared_crs_to_crs: only always_xy=True "
+                        "(lon,lat order) is supported")
+    s_full, d = to_defn(src), to_defn(dst)
+    s_base = _strip_towgs84(s_full)
+
+    if not datum_ops:
+        return _alt([Candidate(
+            f"+proj=pipeline +step +inv {s_full} +step {d}",
+            bbox_src=(-float("inf"),) * 2 + (float("inf"),) * 2,
+            accuracy=-1.0, unknown_area=True, name="ballpark")])
+
+    cands: List[Candidate] = []
+    for op in datum_ops:
+        if "towgs84" in op:
+            shift = ",".join(_fmt_num(v) for v in op["towgs84"])
+            defn = (f"+proj=pipeline +step +inv {s_base} "
+                    f"towgs84={shift} +step {d}")
+        elif "hgrids" in op:
+            defn = (f"+proj=pipeline +step +inv {s_base} "
+                    f"+step +proj=hgridshift +grids={op['hgrids']} "
+                    f"+step {d}")
+        else:
+            defn = f"+proj=pipeline +step +inv {s_base} +step {d}"
+        boxes = [tuple(op.get("bbox") or (-180.0, -90.0, 180.0, 90.0))]
+        if boxes[0][0] > boxes[0][2]:
+            # antimeridian-crossing area of use: two candidates
+            w0, s0, e0, n0 = boxes[0]
+            boxes = [(w0, s0, 180.0, n0), (-180.0, s0, e0, n0)]
+        for box in boxes:
+            bs = _reproject_bbox(s_base, *box)
+            bd = _reproject_bbox(d, *box)
+            if bs is None or bd is None:
+                continue  # box collapses in this CRS: drop (reference
+                # add_coord_op_to_list's minx > maxx case)
+            cands.append(Candidate(
+                defn, bbox_src=bs, bbox_dst=bd,
+                accuracy=float(op.get("accuracy", -1.0)),
+                offshore=bool(op.get("offshore", False)),
+                priority=bool(op.get("priority", False)),
+                unknown_area="bbox" not in op,
+                name=str(op.get("name", ""))))
+    if not cands:
+        raise ProjError("prepared_crs_to_crs: every candidate's area "
+                        "of use collapsed under reprojection")
+    return _alt(cands)
+
+
+def _alt(cands):
+    from proj_ray.opselect import AltOperation
+
+    return AltOperation(cands)

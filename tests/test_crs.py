@@ -578,3 +578,116 @@ def test_compound_projjson():
     crs = CRS.from_projjson(j)
     assert crs.vert_to_meter == 0.3048
     assert "vto_meter=0.3048" in crs.to_proj_string()
+
+
+# ---------------- prepared operations: CRS pair -> bbox ladder -------------
+
+
+WKT1_UTM32_WGS84 = (
+    'PROJCS["WGS 84 / UTM zone 32N",GEOGCS["WGS 84",'
+    'DATUM["WGS_1984",SPHEROID["WGS 84",6378137,298.257223563]],'
+    'PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]],'
+    'PROJECTION["Transverse_Mercator"],'
+    'PARAMETER["latitude_of_origin",0],'
+    'PARAMETER["central_meridian",9],'
+    'PARAMETER["scale_factor",0.9996],'
+    'PARAMETER["false_easting",500000],'
+    'PARAMETER["false_northing",0],UNIT["metre",1]]')
+
+
+def test_prepared_crs_to_crs_bbox_ladder_selects_per_point():
+    """Two candidate datum operations with different areas of use: a
+    point inside the accurate candidate's bbox must use its Helmert
+    shift; a point outside must fall through to the whole-world
+    ballpark candidate — the cs2cs candidate-ladder path
+    (pj_create_prepared_operations, 4D_api.cpp:1953-2046)."""
+    from proj_ray.crs import prepared_crs_to_crs
+
+    src = "+proj=longlat +ellps=intl"
+    alt = prepared_crs_to_crs(
+        src, WKT1_UTM32_WGS84,
+        datum_ops=[
+            {"towgs84": [-87, -98, -121], "bbox": (5, 45, 15, 55),
+             "accuracy": 5.0, "name": "ED50 Europe"},
+            {"towgs84": [0, 0, 0], "accuracy": 50.0,
+             "name": "whole-world"},
+        ])
+    lon = np.array([9.0, 100.0])   # inside Europe bbox / far outside
+    lat = np.array([52.0, 10.0])
+    c = transform_arrays(alt, lon, lat)
+    assert (c.err == 0).all()
+
+    shifted = create_operation(
+        "+proj=pipeline +step +inv proj=longlat ellps=intl "
+        "towgs84=-87,-98,-121 +step +proj=utm +zone=32 +ellps=WGS84")
+    plain = create_operation(
+        "+proj=pipeline +step +inv proj=longlat ellps=intl "
+        "towgs84=0,0,0 +step +proj=utm +zone=32 +ellps=WGS84")
+    want_in = transform_arrays(shifted, lon[:1], lat[:1])
+    want_out = transform_arrays(plain, lon[1:], lat[1:])
+    np.testing.assert_allclose(c.x[0], want_in.x[0], atol=1e-6)
+    np.testing.assert_allclose(c.y[0], want_in.y[0], atol=1e-6)
+    np.testing.assert_allclose(c.x[1], want_out.x[0], atol=1e-6)
+    np.testing.assert_allclose(c.y[1], want_out.y[0], atol=1e-6)
+    # the two candidates produced measurably different answers for the
+    # Europe point (the shift is ~150 m) — the ladder really selected
+    check = transform_arrays(plain, lon[:1], lat[:1])
+    assert abs(c.x[0] - check.x[0]) > 10
+
+
+def test_prepared_crs_to_crs_projected_source_bbox():
+    """A projected SOURCE CRS: the candidate's lon/lat area of use must
+    be reprojected into projected coordinates for selection
+    (reproject_bbox, 4D_api.cpp:1645-1692)."""
+    from proj_ray.crs import prepared_crs_to_crs
+
+    alt = prepared_crs_to_crs(
+        WKT1_UTM32_WGS84, "+proj=longlat +ellps=WGS84",
+        datum_ops=[{"towgs84": [0, 0, 0], "bbox": (6, 47, 12, 55),
+                    "accuracy": 1.0, "name": "zone core"}])
+    cand = alt.candidates[0]
+    # bbox is now in metres, not degrees
+    assert cand.bbox_src[0] > 180.0
+    assert cand.bbox_src[3] > 1_000_000.0
+    x = np.array([500000.0])
+    y = np.array([5760000.0])  # ~52N on the central meridian
+    c = transform_arrays(alt, x, y)
+    assert c.err[0] == 0
+    np.testing.assert_allclose(c.x[0], 9.0, atol=1e-9)
+
+
+def test_prepared_crs_to_crs_antimeridian_split():
+    """west > east areas of use split into two candidates (the
+    reference's op_clone branch, 4D_api.cpp:2023-2040)."""
+    from proj_ray.crs import prepared_crs_to_crs
+
+    alt = prepared_crs_to_crs(
+        "+proj=longlat +ellps=WGS84", "+proj=longlat +ellps=WGS84",
+        datum_ops=[{"towgs84": [10, 0, 0], "bbox": (170, -30, -170, 10),
+                    "accuracy": 2.0, "name": "fiji-ish"},
+                   {"towgs84": [0, 0, 0], "accuracy": 50.0}])
+    names = [c.name for c in alt.candidates]
+    assert names.count("fiji-ish") == 2
+    # both sides of the antimeridian select the split candidate
+    c = transform_arrays(alt, np.array([175.0, -175.0, 0.0]),
+                         np.array([-10.0, -10.0, 0.0]))
+    assert (c.err == 0).all()
+    np.testing.assert_allclose(c.x[:2], [175.0, -175.0], atol=1e-4)
+    np.testing.assert_allclose(c.x[2], 0.0, atol=1e-9)
+
+
+def test_prepared_crs_to_crs_ballpark_fallback():
+    """No datum_ops -> one whole-world unknown-area candidate, same
+    values as crs_to_crs."""
+    from proj_ray.crs import prepared_crs_to_crs
+
+    alt = prepared_crs_to_crs("+proj=longlat +ellps=WGS84",
+                              WKT1_UTM32_WGS84)
+    assert len(alt.candidates) == 1
+    assert alt.candidates[0].unknown_area
+    ref = crs_to_crs("+proj=longlat +ellps=WGS84", WKT1_UTM32_WGS84)
+    lon, lat = np.array([9.3]), np.array([51.2])
+    got = transform_arrays(alt, lon, lat)
+    want = transform_arrays(ref, lon, lat)
+    np.testing.assert_allclose(got.x, want.x, atol=1e-9)
+    np.testing.assert_allclose(got.y, want.y, atol=1e-9)
