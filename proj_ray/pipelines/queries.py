@@ -952,19 +952,20 @@ def q_doc_logprob(sf_dir: str):
     negative log-probability of its tokens under Laplace-smoothed
     corpus frequencies — the classic LM quality filter.
 
-    100-TB shape (r4 VERDICT ask #2): the token vocabulary is NEVER
-    pulled to the driver or broadcast — the tf stream is
-    hash-partitioned BY TOKEN so c(tok) resolves inside the shuffle,
-    per-doc contribution partials re-key by document, and only the two
-    scalars (T, V) reduce through per-bucket stat rows
-    (stages/text.py unigram_logprob_shuffled)."""
+    100-TB shape (r4 VERDICT ask #2): regime-gated.  An HLL estimate
+    of the distinct-token count (ONE narrow register pass) picks the
+    path: vocabulary fits -> the broadcast single-pass scorer (driver
+    pull bounded by the executable max_keys gate); vocabulary is
+    corpus-scale -> the token-hash shuffle where c(tok) resolves
+    inside the partition and only per-bucket scalars reach the driver
+    (stages/text.py unigram_logprob_auto)."""
     import ray.data as rd
 
-    from proj_ray.stages.text import unigram_logprob_shuffled
+    from proj_ray.stages.text import unigram_logprob_auto
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
-    return unigram_logprob_shuffled(ds, alpha=1.0)
+    return unigram_logprob_auto(ds, alpha=1.0)
 
 
 SQL_DOC_LOGPROB = """
@@ -995,17 +996,18 @@ def q_corpus_curation(sf_dir: str):
       1. (prep, bounded) benchmark 3-gram set: driver-built from the
          modulo-97 stand-in benchmark, broadcast (gated like
          decontaminate);
-      2. (prep, scalar) corpus token totals (T, V) via a token-hash
-         shuffle whose driver traffic is one stat row per bucket;
-      3. (stream, left) per batch: Gopher repetition metrics +
-         benchmark contamination hits on the corpus docs; rows failing
-         either filter drop BEFORE the shuffle, text is projected
-         away — only (doc_id, lang, n_chars) moves;
-      4. (stream, right) per-doc NLL partials (s, n) from the
-         token-partitioned contribution fold — no driver vocab table;
-      5. one fused aggregate-join on doc_id finishes the NLL sum in
-         the join partition; the NLL filter, deterministic 90/5/5
-         split and the bounded (split, lang) aggregate follow.
+      2. (gate) HLL estimate of the distinct-token count — one narrow
+         register pass — picks the vocabulary regime;
+      3a. vocabulary FITS: the freq table broadcasts (pull bounded by
+          the executable max_keys gate) and repetition +
+          contamination + NLL filter fuse into ONE streaming pass;
+      3b. vocabulary is corpus-scale: per-doc NLL partials (s, n)
+          come from the token-partitioned contribution fold (no
+          driver vocab table), the prefiltered doc stream joins them
+          with one fused aggregate-join on doc_id, and only
+          per-bucket scalars (T, V) reach the driver;
+      4. the deterministic 90/5/5 split and the bounded (split, lang)
+         aggregate finish either branch.
 
     Every stage is SQL-expressible, so the WHOLE pipeline is
     oracle-paired end to end."""
@@ -1016,10 +1018,15 @@ def q_corpus_curation(sf_dir: str):
     from proj_ray.stages.partitioning import derive_num_partitions
     from proj_ray.stages.relational import copartition_agg_join
     from proj_ray.stages.sampling import hash_split
-    from proj_ray.stages.text import (benchmark_ngram_set,
+    from proj_ray.stages.text import (_BROADCAST_MAX_VOCAB,
+                                      _GATE_MARGIN,
+                                      benchmark_ngram_set,
                                       contamination_hits_batch,
+                                      corpus_token_freq_broadcast,
                                       corpus_token_scalars,
+                                      estimate_vocab,
                                       repetition_stats_batch,
+                                      unigram_nll_batch,
                                       unigram_nll_partials)
     from proj_ray.stages.worker_cache import get_broadcast
 
@@ -1040,45 +1047,74 @@ def q_corpus_curation(sf_dir: str):
 
     nparts = derive_num_partitions(ds, default=64)
     # frequencies are over ALL documents (benchmark rows included),
-    # matching the oracle's freq CTE
-    T, V = corpus_token_scalars(ds, "text", num_buckets=nparts)
-    ln_denom = float(np.log(T + 1.0 * V)) if T + V > 0 else 0.0
-    nll_partials = unigram_nll_partials(ds, "text", "doc_id",
-                                        alpha=1.0,
-                                        num_partitions=nparts)
+    # matching the oracle's freq CTE.  HLL-gated regime selection:
+    # the broadcast single pass when the vocab provably fits, the
+    # token-shuffle fold when it is corpus-scale.
+    broadcast_vocab = (estimate_vocab(ds, "text") * _GATE_MARGIN
+                       <= _BROADCAST_MAX_VOCAB)
 
-    def prefilter(t: pa.Table) -> pa.Table:
-        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
-        corpus = t.filter(pa.array(ids % 97 != 0))
-        if len(corpus) == 0:
-            return pa.table({"doc_id": pa.array([], type=pa.int64()),
-                             "lang": pa.array([], type=pa.string()),
-                             "n_chars": pa.array([], type=pa.int64())})
+    def _base_keep(corpus: pa.Table) -> np.ndarray:
         rep = repetition_stats_batch(corpus)
         dup = rep.column("dup_token_frac") \
             .to_numpy(zero_copy_only=False)
         bench = get_broadcast(bench_ref)
         hits = contamination_hits_batch(corpus, bench, 3)
-        keep = (dup <= _CURATE_DUP_MAX) & (hits == 0)
-        return corpus.filter(pa.array(keep)).select(
-            ["doc_id", "lang", "n_chars"])
+        return (dup <= _CURATE_DUP_MAX) & (hits == 0)
 
-    left = ds.map_batches(prefilter, batch_format="pyarrow")
-    joined = copartition_agg_join(left, nll_partials, on="doc_id",
-                                  agg_cols=("s", "n"), how="inner",
-                                  num_partitions=nparts)
+    _EMPTY_KEPT = pa.table({"doc_id": pa.array([], type=pa.int64()),
+                            "lang": pa.array([], type=pa.string()),
+                            "n_chars": pa.array([], type=pa.int64())})
 
-    def nll_filter(t: pa.Table) -> pa.Table:
-        s = t.column("s").to_numpy(zero_copy_only=False)
-        n = t.column("n").to_numpy(zero_copy_only=False)
-        with np.errstate(invalid="ignore", divide="ignore"):
-            nll = np.where(n > 0, ln_denom - s / n, 0.0)
-        return t.filter(pa.array(nll <= _CURATE_NLL_MAX)).select(
-            ["doc_id", "lang", "n_chars"])
+    if broadcast_vocab:
+        freq_ref, total, v = corpus_token_freq_broadcast(ds, "text")
 
-    kept = hash_split(joined.map_batches(nll_filter,
-                                         batch_format="pyarrow"),
-                      _CURATE_SPLITS, id_col="doc_id", seed=29)
+        def curate(t: pa.Table) -> pa.Table:
+            ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+            corpus = t.filter(pa.array(ids % 97 != 0))
+            if len(corpus) == 0:
+                return _EMPTY_KEPT
+            vv, cc = get_broadcast(freq_ref)
+            _, nll = unigram_nll_batch(corpus, vv, cc, total,
+                                       alpha=1.0, vocab_size=v)
+            keep = _base_keep(corpus) & (nll <= _CURATE_NLL_MAX)
+            return corpus.filter(pa.array(keep)).select(
+                ["doc_id", "lang", "n_chars"])
+
+        filtered = ds.map_batches(curate, batch_format="pyarrow")
+    else:
+        T, V = corpus_token_scalars(ds, "text", num_buckets=nparts)
+        ln_denom = float(np.log(T + 1.0 * V)) if T + V > 0 else 0.0
+        nll_partials = unigram_nll_partials(ds, "text", "doc_id",
+                                            alpha=1.0,
+                                            num_partitions=nparts)
+
+        def prefilter(t: pa.Table) -> pa.Table:
+            ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+            corpus = t.filter(pa.array(ids % 97 != 0))
+            if len(corpus) == 0:
+                return _EMPTY_KEPT
+            return corpus.filter(pa.array(_base_keep(corpus))).select(
+                ["doc_id", "lang", "n_chars"])
+
+        left = ds.map_batches(prefilter, batch_format="pyarrow")
+        joined = copartition_agg_join(left, nll_partials, on="doc_id",
+                                      agg_cols=("s", "n"),
+                                      how="inner",
+                                      num_partitions=nparts)
+
+        def nll_filter(t: pa.Table) -> pa.Table:
+            s = t.column("s").to_numpy(zero_copy_only=False)
+            n = t.column("n").to_numpy(zero_copy_only=False)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                nll = np.where(n > 0, ln_denom - s / n, 0.0)
+            return t.filter(pa.array(nll <= _CURATE_NLL_MAX)).select(
+                ["doc_id", "lang", "n_chars"])
+
+        filtered = joined.map_batches(nll_filter,
+                                      batch_format="pyarrow")
+
+    kept = hash_split(filtered, _CURATE_SPLITS, id_col="doc_id",
+                      seed=29)
 
     def partial(t: pa.Table) -> pa.Table:
         out = pa.table({

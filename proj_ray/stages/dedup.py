@@ -296,6 +296,8 @@ _BROADCAST_DOC_LIMIT = 100_000
 # small bitset AND the packed signature table fits a broadcast.
 _DENSE_VOCAB_MAX = 1 << 16       # <= 65,536 distinct shingles (8 KB/doc)
 _DENSE_SIG_BYTES = 256 << 20     # packed table cap: 256 MB
+_BROADCAST_DF_MAX = 4_000_000    # df-table broadcast gate (~64 MB)
+_GATE_MARGIN = 1.25              # headroom over the HLL estimate
 
 
 def _verify_pairs(pairs, sigs_src, jaccard_threshold: float):
@@ -576,38 +578,30 @@ def ngram_jaccard_pairs(docs_ds, jaccard_threshold: float = 0.8,
     sigs = docs_ds.map_batches(sets_batch,
                                batch_format="pyarrow").materialize()
 
-    # (2) 100-TB shape (r4 VERDICT ask #2): the shingle-df table is
-    # never pulled to the driver.  df resolves INSIDE a shingle-hash
-    # partition (the exploded stream carries exactly one row per
-    # (doc, shingle), so df = partition-local rows per shingle), and
-    # the rarest-first prefix ranks resolve in a second, doc-keyed
-    # partition.  Only the scalar V (exact distinct-shingle count,
-    # for the dense-regime gate) reduces to the driver; the dense
-    # branch pulls the vocab VALUES only after the gate has bounded
-    # them to <= _DENSE_VOCAB_MAX entries.
-    from proj_ray.stages.agg import hash_distinct
+    # (2) 100-TB shape (r4 VERDICT ask #2, r5 gate): the shingle-df
+    # table is never pulled to the driver UNBOUNDED.  An HLL estimate
+    # of the distinct-shingle count (one narrow register pass) picks
+    # the regime:
+    #   - vocabulary FITS (est * margin <= _BROADCAST_DF_MAX): the
+    #     exact df table builds through the combine tree (pull bounded
+    #     by the executable max_keys gate), broadcasts, and the prefix
+    #     ranks resolve in ONE streaming pass — the fast small-corpus
+    #     shape;
+    #   - vocabulary is corpus-scale: df resolves INSIDE a
+    #     shingle-hash partition (the exploded stream carries exactly
+    #     one row per (doc, shingle), so df = partition-local rows per
+    #     shingle), and the rarest-first prefix ranks resolve in a
+    #     second, doc-keyed partition — nothing shingle-keyed reaches
+    #     the driver.  The dense regime is impossible here
+    #     (_DENSE_VOCAB_MAX << _BROADCAST_DF_MAX).
+    from proj_ray.stages.distinct import hll_estimate_batches
     from proj_ray.stages.partitioning import derive_num_partitions
-
-    def explode_shingles(t: pa.Table) -> pa.Table:
-        vals, off = _binary_int64_segments(t.column("shingles"))
-        counts = np.diff(off)
-        doc = t.column("doc_id").to_numpy(zero_copy_only=False)
-        return pa.table({
-            "shingle": pa.array(vals),
-            "doc_id": pa.array(np.repeat(doc, counts)),
-            "nsh": pa.array(np.repeat(counts.astype(np.int64),
-                                      counts))})
 
     n_docs = sigs.count()
     num_parts = derive_num_partitions(sigs, default=32)
-    exploded = sigs.map_batches(explode_shingles,
-                                batch_format="pyarrow")
-    distinct_sh = hash_distinct(exploded, "shingle",
-                                num_buckets=num_parts)
-    vocab = distinct_sh.count()
-    words = (vocab + 63) >> 6
-    dense = (vocab <= _DENSE_VOCAB_MAX
-             and n_docs * words * 8 <= _DENSE_SIG_BYTES)
+    est_vocab = hll_estimate_batches(
+        sigs, lambda t: _binary_int64_segments(t.column("shingles"))[0])
+    broadcast_df = (est_vocab * _GATE_MARGIN <= _BROADCAST_DF_MAX)
 
     def add_part(t: pa.Table) -> pa.Table:
         s = t.column("shingle").to_numpy(zero_copy_only=False) \
@@ -615,74 +609,140 @@ def ngram_jaccard_pairs(docs_ds, jaccard_threshold: float = 0.8,
         part = ((s * _MIX) % np.uint64(num_parts)).astype(np.int64)
         return t.append_column("__part", pa.array(part))
 
-    def attach_df(t: pa.Table) -> pa.Table:
-        t = t.drop_columns(["__part"])
-        if len(t) == 0:
-            return t.append_column("df",
-                                   pa.array([], type=pa.int64()))
-        sh = t.column("shingle").to_numpy(zero_copy_only=False)
-        u, inv = np.unique(sh, return_inverse=True)
-        df = np.bincount(inv).astype(np.int64)
-        return t.append_column("df", pa.array(df[inv]))
+    if broadcast_df:
+        from proj_ray.stages.agg import tree_aggregate
 
-    def add_doc_part(t: pa.Table) -> pa.Table:
-        d = t.column("doc_id").to_numpy(zero_copy_only=False) \
-            .astype(np.uint64)
-        part = ((d * _MIX) % np.uint64(num_parts)).astype(np.int64)
-        return t.append_column("__dpart", pa.array(part))
+        def df_partial(t: pa.Table) -> pa.Table:
+            vals, _ = _binary_int64_segments(t.column("shingles"))
+            u, c = np.unique(vals, return_counts=True)
+            return pa.table({"shingle": pa.array(u),
+                             "df": pa.array(c.astype(np.int64))})
 
-    # (3) prefix emission: rank each doc's shingles rarest-first and
-    # keep the first p = s - ceil(t*s) + 1 (ties broken by shingle
-    # value — the same total order in every partition)
-    def rank_prefix(t: pa.Table) -> pa.Table:
-        t = t.drop_columns(["__dpart"])
-        doc = t.column("doc_id").to_numpy(zero_copy_only=False)
-        if len(doc) == 0:
+        freq_ds = tree_aggregate(
+            sigs.map_batches(df_partial, batch_format="pyarrow"),
+            ["shingle"], [("df", "sum")], fanout=8,
+            max_keys=_BROADCAST_DF_MAX)
+        freq_tbl = pa.concat_tables(ray.get(freq_ds.to_arrow_refs()),
+                                    promote_options="default")
+        fvals = freq_tbl.column("shingle") \
+            .to_numpy(zero_copy_only=False)
+        fcnts = freq_tbl.column("df").to_numpy(zero_copy_only=False)
+        forder = np.argsort(fvals)
+        fvals, fcnts = fvals[forder], fcnts[forder]
+        freq_ref = ray.put((fvals, fcnts))
+        vocab = len(fvals)
+        words = (vocab + 63) >> 6
+        dense = (vocab <= _DENSE_VOCAB_MAX
+                 and n_docs * words * 8 <= _DENSE_SIG_BYTES)
+
+        # prefix emission in ONE pass: rank each doc's shingles
+        # rarest-first under the broadcast (df, value) order and keep
+        # the first p = s - ceil(t*s) + 1
+        def prefix_rows(t: pa.Table) -> pa.Table:
+            fv, fc = get_broadcast(freq_ref)
+            vals, off = _binary_int64_segments(t.column("shingles"))
+            doc = t.column("doc_id").to_numpy(zero_copy_only=False)
+            counts = np.diff(off)
+            nd = len(counts)
+            doc_idx = np.repeat(np.arange(nd, dtype=np.int64), counts)
+            df = fc[np.searchsorted(fv, vals)]
+            order = np.lexsort((vals, df, doc_idx))
+            rank = np.arange(len(vals), dtype=np.int64) \
+                - np.repeat(off[:-1], counts)
+            p = counts - np.ceil(jaccard_threshold * counts) \
+                .astype(np.int64) + 1
+            mask = rank < np.repeat(p, counts)
+            keep = order[mask]
             return pa.table({
-                "shingle": pa.array([], type=pa.int64()),
-                "doc_id": pa.array([], type=pa.int64()),
-                "nsh": pa.array([], type=pa.int64()),
-                "rnk": pa.array([], type=pa.int64())})
-        sh = t.column("shingle").to_numpy(zero_copy_only=False)
-        df = t.column("df").to_numpy(zero_copy_only=False)
-        nsh = t.column("nsh").to_numpy(zero_copy_only=False)
-        order = np.lexsort((sh, df, doc))
-        doc_s, sh_s, nsh_s = doc[order], sh[order], nsh[order]
-        n = len(doc_s)
-        new = np.empty(n, dtype=bool)
-        new[0] = True
-        new[1:] = doc_s[1:] != doc_s[:-1]
-        starts = np.flatnonzero(new)
-        runs = np.diff(np.append(starts, n))
-        rank = np.arange(n, dtype=np.int64) - np.repeat(starts, runs)
-        p = nsh_s - np.ceil(jaccard_threshold * nsh_s).astype(np.int64) \
-            + 1
-        mask = rank < p
-        return pa.table({
-            "shingle": pa.array(sh_s[mask]),
-            "doc_id": pa.array(doc_s[mask]),
-            "nsh": pa.array(nsh_s[mask]),
-            # 0-based rank of this token in the doc's global (df, val)
-            # order — the PPJoin positional filter's input
-            "rnk": pa.array(rank[mask])})
+                "shingle": pa.array(vals[keep]),
+                "doc_id": pa.array(doc[doc_idx[keep]]),
+                "nsh": pa.array(counts[doc_idx[keep]]),
+                # 0-based rank of this token in the doc's global
+                # (df, val) order — the PPJoin positional filter input
+                "rnk": pa.array(rank[mask])})
 
-    prefix = (exploded.map_batches(add_part, batch_format="pyarrow")
-              .groupby("__part")
-              .map_groups(attach_df, batch_format="pyarrow")
-              .map_batches(add_doc_part, batch_format="pyarrow")
-              .groupby("__dpart")
-              .map_groups(rank_prefix, batch_format="pyarrow")
-              .map_batches(add_part, batch_format="pyarrow"))
+        prefix = (sigs.map_batches(prefix_rows, batch_format="pyarrow")
+                  .map_batches(add_part, batch_format="pyarrow"))
+    else:
+        dense = False  # vocab >> _DENSE_VOCAB_MAX by the gate
+        fvals = None
+
+        def explode_shingles(t: pa.Table) -> pa.Table:
+            vals, off = _binary_int64_segments(t.column("shingles"))
+            counts = np.diff(off)
+            doc = t.column("doc_id").to_numpy(zero_copy_only=False)
+            return pa.table({
+                "shingle": pa.array(vals),
+                "doc_id": pa.array(np.repeat(doc, counts)),
+                "nsh": pa.array(np.repeat(counts.astype(np.int64),
+                                          counts))})
+
+        exploded = sigs.map_batches(explode_shingles,
+                                    batch_format="pyarrow")
+
+        def attach_df(t: pa.Table) -> pa.Table:
+            t = t.drop_columns(["__part"])
+            if len(t) == 0:
+                return t.append_column("df",
+                                       pa.array([], type=pa.int64()))
+            sh = t.column("shingle").to_numpy(zero_copy_only=False)
+            u, inv = np.unique(sh, return_inverse=True)
+            df = np.bincount(inv).astype(np.int64)
+            return t.append_column("df", pa.array(df[inv]))
+
+        def add_doc_part(t: pa.Table) -> pa.Table:
+            d = t.column("doc_id").to_numpy(zero_copy_only=False) \
+                .astype(np.uint64)
+            part = ((d * _MIX) % np.uint64(num_parts)).astype(np.int64)
+            return t.append_column("__dpart", pa.array(part))
+
+        # prefix emission: rank each doc's shingles rarest-first and
+        # keep the first p = s - ceil(t*s) + 1 (ties broken by shingle
+        # value — the same total order in every partition)
+        def rank_prefix(t: pa.Table) -> pa.Table:
+            t = t.drop_columns(["__dpart"])
+            doc = t.column("doc_id").to_numpy(zero_copy_only=False)
+            if len(doc) == 0:
+                return pa.table({
+                    "shingle": pa.array([], type=pa.int64()),
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "nsh": pa.array([], type=pa.int64()),
+                    "rnk": pa.array([], type=pa.int64())})
+            sh = t.column("shingle").to_numpy(zero_copy_only=False)
+            df = t.column("df").to_numpy(zero_copy_only=False)
+            nsh = t.column("nsh").to_numpy(zero_copy_only=False)
+            order = np.lexsort((sh, df, doc))
+            doc_s, sh_s, nsh_s = doc[order], sh[order], nsh[order]
+            n = len(doc_s)
+            new = np.empty(n, dtype=bool)
+            new[0] = True
+            new[1:] = doc_s[1:] != doc_s[:-1]
+            starts = np.flatnonzero(new)
+            runs = np.diff(np.append(starts, n))
+            rank = np.arange(n, dtype=np.int64) \
+                - np.repeat(starts, runs)
+            p = nsh_s - np.ceil(jaccard_threshold * nsh_s) \
+                .astype(np.int64) + 1
+            mask = rank < p
+            return pa.table({
+                "shingle": pa.array(sh_s[mask]),
+                "doc_id": pa.array(doc_s[mask]),
+                "nsh": pa.array(nsh_s[mask]),
+                "rnk": pa.array(rank[mask])})
+
+        prefix = (exploded.map_batches(add_part,
+                                       batch_format="pyarrow")
+                  .groupby("__part")
+                  .map_groups(attach_df, batch_format="pyarrow")
+                  .map_batches(add_doc_part, batch_format="pyarrow")
+                  .groupby("__dpart")
+                  .map_groups(rank_prefix, batch_format="pyarrow")
+                  .map_batches(add_part, batch_format="pyarrow"))
 
     if dense:
         # ---- dense regime: broadcast packed bitsets, verify inline ----
-        # the only driver pull of shingle VALUES, and it happens only
-        # after the `dense` gate has bounded the vocab to
-        # <= _DENSE_VOCAB_MAX entries — never corpus-proportional
-        fvals = np.sort(pa.concat_tables(
-            ray.get(distinct_sh.to_arrow_refs()),
-            promote_options="default").column("shingle")
-            .to_numpy(zero_copy_only=False))
+        # only reachable in the broadcast-df regime, where fvals is the
+        # exact (bounded) vocabulary
         vocab_ref = ray.put(fvals)
 
         def pack_batch(t: pa.Table) -> pa.Table:

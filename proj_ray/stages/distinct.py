@@ -142,3 +142,44 @@ def approx_distinct(ds, key: str, value: str, p: int = 12,
     return regs.map_batches(add_bucket, batch_format="pyarrow") \
         .groupby("__b").map_groups(estimate_part,
                                    batch_format="pyarrow")
+
+
+def hll_estimate_batches(ds, values_fn, p: int = 14) -> int:
+    """Corpus-wide distinct-count estimate over arbitrary uint64
+    values: `values_fn(batch) -> np.ndarray` extracts the values per
+    batch; sparse (register, rho) rows — at most 2^p per batch —
+    max-merge through the combine tree, so the driver sees <= 2^p rows
+    regardless of corpus size.  The cheap gate for size-gated
+    broadcast-vs-shuffle regime choices (stages/text.py, dedup.py)."""
+    from proj_ray.stages.agg import tree_aggregate
+
+    m = 1 << p
+
+    def regs(t: pa.Table) -> pa.Table:
+        h = _hash64(np.asarray(values_fn(t)).astype(np.uint64))
+        if len(h) == 0:
+            return pa.table({"__reg": pa.array([], type=pa.int64()),
+                             "__rho": pa.array([], type=pa.int64())})
+        reg = (h >> np.uint64(64 - p)).astype(np.int64)
+        rest = (h << np.uint64(p)) | np.uint64((1 << p) - 1)
+        lz = 63 - np.floor(np.log2(rest.astype(np.float64))) \
+            .astype(np.int64)
+        rho = np.clip(lz + 1, 1, 64 - p + 1)
+        out = pa.table({"__reg": pa.array(reg), "__rho": pa.array(rho)})
+        return out.group_by(["__reg"]).aggregate([("__rho", "max")]) \
+            .rename_columns(["__reg", "__rho"])
+
+    tbl = pa.concat_tables(
+        tree_aggregate(ds.map_batches(regs, batch_format="pyarrow"),
+                       ["__reg"], [("__rho", "max")])
+        .iter_batches(batch_format="pyarrow"),
+        promote_options="default")
+    rho = np.zeros(m)
+    rho[tbl.column("__reg").to_numpy(zero_copy_only=False)] = \
+        tbl.column("__rho").to_numpy(zero_copy_only=False)
+    zeros = int((rho == 0).sum())
+    alpha_m = 0.7213 / (1 + 1.079 / m)
+    est = alpha_m * m * m / np.exp2(-rho).sum()
+    if est <= 2.5 * m and zeros > 0:
+        est = m * np.log(m / zeros)
+    return int(round(est))

@@ -524,3 +524,98 @@ def unigram_logprob_shuffled(ds, text_col: str = "text",
                          "mean_nll": pa.array(np.round(mean, 9))})
 
     return per_doc.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Size-gated vocabulary regime selection
+# ---------------------------------------------------------------------------
+#
+# The broadcast path (one streaming scoring pass, freq table shipped
+# once per worker) is strictly faster when the vocabulary FITS; the
+# token-shuffle path above is the only correct shape when it doesn't
+# (Heaps' law at 100 TB).  The repo convention for exactly this
+# situation is the size-gated broadcast with a shuffle fallback
+# (stages/relational.py semi/anti joins, r3); here the gate is an
+# HLL estimate of the distinct-token count — ONE narrow pass whose
+# exchange is <= 2^p register rows — with the executable max_keys
+# bound backstopping the estimate on the pull itself.
+
+_BROADCAST_MAX_VOCAB = 4_000_000  # ~64 MB of (hash, count) pairs
+_GATE_MARGIN = 1.25               # HLL p=14 err ~0.8%; 25% headroom
+
+
+def estimate_vocab(ds, text_col: str = "text", p: int = 14) -> int:
+    """Approximate distinct-token count (HyperLogLog, Flajolet 2007):
+    per-batch sparse (register, rho) rows — at most 2^p per batch —
+    max-merged through the combine tree; the driver sees <= 2^p rows
+    regardless of corpus size."""
+    from proj_ray.stages.distinct import hll_estimate_batches
+
+    def token_hashes(t: pa.Table) -> np.ndarray:
+        import pyarrow.compute as pc
+
+        from proj_ray.stages.hashing import rolling_hash_batch
+
+        toks = pc.split_pattern(pc.fill_null(t.column(text_col), ""),
+                                " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        return rolling_hash_batch(toks.flatten())
+
+    return hll_estimate_batches(ds, token_hashes, p)
+
+
+def corpus_token_freq_broadcast(ds, text_col: str = "text",
+                                max_keys: int = _BROADCAST_MAX_VOCAB):
+    """(freq_ref, T, V): the corpus token frequency table via the
+    narrow combine tree, sorted and `ray.put` for worker-side lookup.
+    The driver pull is bounded by the EXECUTABLE max_keys gate (the
+    final combine raises past it) — callers must pre-gate with
+    `estimate_vocab` (as `unigram_logprob_auto` does) so the raise is
+    a contract violation, not a control path."""
+    import pyarrow.compute as pc
+    import ray
+
+    from proj_ray.stages.agg import tree_aggregate
+    from proj_ray.stages.hashing import rolling_hash_batch
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(pc.fill_null(t.column(text_col), ""),
+                                " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        h = rolling_hash_batch(toks.flatten())
+        u, c = np.unique(h, return_counts=True)
+        return pa.table({"tok": pa.array(u),
+                         "c": pa.array(c.astype(np.int64))})
+
+    freq_ds = tree_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["tok"], [("c", "sum")], fanout=8, max_keys=max_keys)
+    freq = pa.concat_tables(ray.get(freq_ds.to_arrow_refs()),
+                            promote_options="default")
+    vocab = freq.column("tok").to_numpy(zero_copy_only=False)
+    cnts = freq.column("c").to_numpy(zero_copy_only=False)
+    order = np.argsort(vocab)
+    vocab, cnts = vocab[order].astype(np.uint64), cnts[order]
+    return ray.put((vocab, cnts)), int(cnts.sum()), len(vocab)
+
+
+def unigram_logprob_auto(ds, text_col: str = "text",
+                         id_col: str = "doc_id", alpha: float = 1.0,
+                         broadcast_max_vocab: int =
+                         _BROADCAST_MAX_VOCAB,
+                         num_partitions: int | None = None):
+    """Per-document unigram NLL with automatic regime selection: the
+    broadcast single-pass scorer when the HLL-estimated vocabulary
+    fits `broadcast_max_vocab`, the token-shuffled fold otherwise.
+    Same values either way (the regression test pins equality)."""
+    est = estimate_vocab(ds, text_col)
+    if est * _GATE_MARGIN <= broadcast_max_vocab:
+        freq_ref, total, v = corpus_token_freq_broadcast(
+            ds, text_col, max_keys=broadcast_max_vocab)
+        return unigram_logprob(ds, freq_ref, total_tokens=total,
+                               text_col=text_col, id_col=id_col,
+                               alpha=alpha, vocab_size=v)
+    return unigram_logprob_shuffled(ds, text_col, id_col, alpha,
+                                    num_partitions)

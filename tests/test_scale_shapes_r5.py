@@ -204,3 +204,86 @@ def test_ann_brute_topk_many_blocks(ray_session):
         order = np.lexsort((np.arange(n), -sims[q]))[:3]
         np.testing.assert_array_equal(sub["vec_id"].to_numpy(),
                                       order)
+
+
+# ------------------- HLL-gated regime selection ---------------------------
+
+
+def test_estimate_vocab_within_hll_error(ray_session):
+    import ray.data as rd
+
+    from proj_ray.stages.text import estimate_vocab
+
+    t = _docs_table(300, vocab=800, seed=21)
+    true_v = len({w for s in t.column("text").to_pylist()
+                  for w in s.split(" ")})
+    est = estimate_vocab(rd.from_arrow(t).repartition(7))
+    assert abs(est - true_v) / true_v < 0.1
+
+
+def test_unigram_logprob_auto_regimes_identical(ray_session):
+    """The broadcast and shuffled regimes must give identical rounded
+    values — forced each way through the gate threshold."""
+    import ray.data as rd
+
+    from proj_ray.stages.text import unigram_logprob_auto
+
+    t = _docs_table(120, vocab=300, seed=31)
+    ds = rd.from_arrow(t).repartition(6)
+    a = unigram_logprob_auto(ds, broadcast_max_vocab=10_000_000) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = unigram_logprob_auto(ds, broadcast_max_vocab=1) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    np.testing.assert_array_equal(a["n_tok"], b["n_tok"])
+    np.testing.assert_allclose(a["mean_nll"], b["mean_nll"],
+                               rtol=0, atol=0)
+
+
+def test_corpus_curation_regimes_identical(ray_session, monkeypatch):
+    """q_corpus_curation's two vocabulary regimes must produce the
+    same (split, lang) summary — forced via the gate constant."""
+    import proj_ray.pipelines.queries as Q
+    import proj_ray.stages.text as T
+
+    sf = "/root/testdata/sf0.001"
+    a = Q.q_corpus_curation(sf).to_pandas() \
+        .sort_values(["split", "lang"]).reset_index(drop=True)
+    monkeypatch.setattr(T, "_BROADCAST_MAX_VOCAB", 1)
+    b = Q.q_corpus_curation(sf).to_pandas() \
+        .sort_values(["split", "lang"]).reset_index(drop=True)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_ngram_jaccard_regimes_identical(ray_session, monkeypatch):
+    """The broadcast-df and shuffled-df regimes of the set-similarity
+    join must emit the identical pair set."""
+    import ray.data as rd
+
+    import proj_ray.stages.dedup as D
+
+    rng = np.random.default_rng(17)
+    base = ["the quick brown fox jumps over the lazy dog " * 3,
+            "pack my box with five dozen liquor jugs " * 3]
+    texts = []
+    for i in range(60):
+        b = base[i % 2]
+        texts.append(b + f" tail{rng.integers(0, 5)}")
+    t = pa.table({"doc_id": pa.array(np.arange(60, dtype=np.int64)),
+                  "text": texts})
+    ds = rd.from_arrow(t).repartition(5)
+
+    def run():
+        out = D.ngram_jaccard_pairs(ds, jaccard_threshold=0.8)
+        df = out.to_pandas() if hasattr(out, "to_pandas") else out
+        return df.sort_values(["doc_a", "doc_b"]) \
+            .reset_index(drop=True)
+
+    a = run()
+    monkeypatch.setattr(D, "_BROADCAST_DF_MAX", 1)
+    b = run()
+    assert len(a) == len(b) and len(a) > 0
+    np.testing.assert_array_equal(a["doc_a"], b["doc_a"])
+    np.testing.assert_array_equal(a["doc_b"], b["doc_b"])
+    np.testing.assert_allclose(a["jaccard"], b["jaccard"])
