@@ -106,6 +106,53 @@ SQL_WEBMERC = (
 )
 
 
+def q_crs_ladder(sf_dir: str):
+    """Per-point candidate-ladder selection as a driver-visible query
+    (the cs2cs alternative-operation path, opselect.py): two webmerc
+    candidates — a 'regional' one whose area of use is the lon 0..90 /
+    lat 0..60 box (accuracy 1 m) and a whole-world fallback carrying a
+    1,000,000 m false easting (accuracy 50 m).  Each coordinate picks
+    the best candidate whose bbox contains it, so the output is
+    SQL-expressible as a CASE over the closed-form webmerc — the
+    selection logic itself is what the oracle checks."""
+    from proj_ray.opselect import create_crs_pipeline
+
+    alt = create_crs_pipeline([
+        {"defn": "+proj=webmerc +ellps=WGS84",
+         "bbox_src": (0.0, 0.0, 90.0, 60.0), "accuracy": 1.0,
+         "name": "regional"},
+        {"defn": "+proj=webmerc +x_0=1000000 +ellps=WGS84",
+         "accuracy": 50.0, "unknown_area": True, "name": "fallback"},
+    ])
+
+    def project(batch: pa.Table) -> pa.Table:
+        c = transform_arrays(
+            alt, batch.column("lon").to_numpy(zero_copy_only=False),
+            batch.column("lat").to_numpy(zero_copy_only=False))
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "offset": batch.column("offset"),
+            "x": pa.array(np.round(c.x, 3)),
+            "y": pa.array(np.round(c.y, 3)),
+        })
+
+    return coords_dataset(sf_dir).map_batches(project,
+                                              batch_format="pyarrow")
+
+
+SQL_CRS_LADDER = (
+    "WITH " + sql_coords_cte() + f"""
+ SELECT doc_id, off AS offset,
+        round({A_WGS84!r} * radians(lon)
+              + CASE WHEN lon BETWEEN 0 AND 90
+                      AND lat BETWEEN 0 AND 60
+                     THEN 0 ELSE 1000000 END, 3) AS x,
+        round({A_WGS84!r} * ln(tan(radians(lat)) + 1.0/cos(radians(lat))),
+              3) AS y
+ FROM coords"""
+)
+
+
 def q_merc_ell(sf_dir: str):
     p = create_operation("+proj=merc +ellps=WGS84")
 
@@ -4257,6 +4304,7 @@ def build_queries():
         "span_coords": q_span_coords,
         "span_sequence": q_span_sequence,
         "webmerc_project": q_webmerc,
+        "crs_ladder": q_crs_ladder,
         "merc_ell_project": q_merc_ell,
         "lcc_project": q_lcc,
         "utm_project": q_utm_zone32,
@@ -4364,6 +4412,7 @@ def build_oracles():
         "span_coords": SQL_SPAN_COORDS,
         "span_sequence": SQL_SPAN_SEQUENCE,
         "webmerc_project": SQL_WEBMERC,
+        "crs_ladder": SQL_CRS_LADDER,
         "merc_ell_project": SQL_MERC_ELL,
         "lcc_project": _sql_lcc(),
         "cell_assign": SQL_CELL_ASSIGN,
