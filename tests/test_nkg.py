@@ -89,7 +89,11 @@ def test_dropped_case_accounting_written():
                         "gie_dropped.json")
     with open(path) as f:
         drops = json.load(f)
-    assert drops["gie/DHDN_ETRS89.gie"]["require_grid"] == 32
+    # DHDN_ETRS89.gie no longer drops anything: its require_grid gate
+    # names BETA2007.gsb, which ships in data/tests/, so both halves of
+    # the file (NTv2 grid path AND the deprecated 7-param Helmert at
+    # 3 m) are vendored and green.
+    assert "gie/DHDN_ETRS89.gie" not in drops
     nkg = drops["gie/nkg.gie"]
-    assert nkg["urn_unsupported"] == 16  # the 2020 grid-less family
+    assert nkg["urn_unsupported"] == 16  # need eur_nkg_nkgrf17vel.tif
     assert nkg["grid_coverage"] == 15   # 2008 points outside the extract

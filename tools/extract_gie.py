@@ -243,7 +243,15 @@ def extract(path: str, relname: str):
         elif tag == "ignore":
             ignore = True
         elif tag == "require_grid":
-            require_grid = True
+            # gie semantics (gie.cpp): skip the block only when the named
+            # grid is NOT available.  DHDN_ETRS89.gie's second half gates
+            # on BETA2007.gsb, which ships in data/tests/ — those blocks
+            # run in the reference CI and must run here too.
+            sys.path.insert(0, os.path.join(
+                os.path.dirname(__file__), ".."))
+            from proj_ray.ops.gridshift import resolve_grid_path
+
+            require_grid = resolve_grid_path(args.strip()) is None
         elif tag == "accept":
             accept, accept_dims = parse_coord(args)
         elif tag == "roundtrip":
