@@ -21,13 +21,30 @@ atomically, one manifest each):
 
 The shard key is `doc_id % n_shards` — a pure function of the row, so
 shard membership is stable across re-runs and block layouts (the same
-property `hash_split` relies on).  The tail keeps the vocabulary
-distributed: global token counts resolve in a token-hash shuffle
-(`hash_shuffle_aggregate`), the per-doc NLL contributions resolve by
-unioning the (tok, c) table with the doctok stream inside the same
-token-hash partitioning, and only per-bucket scalars (T, V) reach the
-driver.  Output is identical to `q_corpus_curation` — the regression
-test asserts the 15-row summary matches after a mid-run kill.
+property `hash_split` relies on).
+
+Scale shape (round-5 revision): ALL pending shards are produced by ONE
+streaming read of the corpus — the per-document pass emits shard-tagged
+partial rows, a `groupby(__shard).map_groups` shuffle brings each
+shard's rows to one task, and that task combines and CHECKPOINTS the
+three tables from inside the worker (shards run in parallel; `root`
+must be shared storage on a multi-node cluster, like any distributed
+checkpoint dir).  The earlier form read the whole corpus once per
+shard and combined on the driver — N-fold read amplification and a
+serial driver loop at scale.  Each shard's combined tables must fit a
+worker: size `n_shards` so a shard is a few hundred MB, exactly the
+sizing `hash_split` shards already need.  `max_shards_per_run` bounds
+one invocation (process K pending shards, then raise
+`IncompleteRunError`) — the operational form of a mid-run kill, and
+what the resume tests use to avoid monkeypatching worker processes.
+
+The tail keeps the vocabulary distributed: global token counts resolve
+in a token-hash shuffle (`hash_shuffle_aggregate`), the per-doc NLL
+contributions resolve by unioning the (tok, c) table with the doctok
+stream inside the same token-hash partitioning, and only per-bucket
+scalars (T, V) reach the driver.  Output is identical to
+`q_corpus_curation` — the regression test asserts the 15-row summary
+matches after a mid-run kill.
 """
 
 from __future__ import annotations
@@ -38,11 +55,37 @@ import pyarrow as pa
 _ALPHA = 1.0
 
 
-def _shard_tables(sf_dir: str, shard: int, n_shards: int,
-                  bench_ref) -> dict:
-    """Compute the three per-shard tables with one read of the shard's
-    rows (columns pruned at the read; the shard filter is a pure
-    row-level predicate)."""
+class IncompleteRunError(RuntimeError):
+    """Raised when `max_shards_per_run` left pending shards
+    unprocessed.  Every checkpoint written before the raise is valid —
+    re-invoking with the same root continues from them."""
+
+
+_EMPTY_SHARD_TABLES = {
+    "tokc": {"tok": "uint64", "c": "int64"},
+    "doctok": {"doc_id": "int64", "tok": "uint64", "m": "int64"},
+    "kept": {"doc_id": "int64", "lang": "string", "n_chars": "int64"},
+}
+
+
+def _empty_shard_table(name: str) -> pa.Table:
+    return pa.table({col: pa.array([], type=getattr(pa, typ)())
+                     for col, typ in _EMPTY_SHARD_TABLES[name].items()})
+
+
+def _tagged_shard_rows(sf_dir: str, pending, n_shards: int, bench_ref):
+    """ONE streaming read of the corpus producing shard-tagged partial
+    rows for every PENDING shard (columns pruned at the read; the
+    shard filter is a pure row-level predicate).  Row kinds:
+
+      kind 0: per-doc token partials over ALL docs of the shard
+              (benchmark included — the oracle's freq CTE is over the
+              whole table); `kept` marks docs surviving the
+              dup/contamination prefilter, so the shard task derives
+              BOTH tokc (aggregate all) and doctok (filter kept) from
+              one row stream instead of shipping the tokens twice.
+      kind 2: the prefiltered doc stream (doc_id, lang, n_chars).
+    """
     import ray.data as rd
 
     from proj_ray.stages.text import (contamination_hits_batch,
@@ -50,33 +93,32 @@ def _shard_tables(sf_dir: str, shard: int, n_shards: int,
                                       repetition_stats_batch)
     from proj_ray.stages.worker_cache import get_broadcast
 
+    pending_arr = np.asarray(sorted(pending), dtype=np.int64)
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text", "lang", "n_chars"])
 
     def per_batch(t: pa.Table) -> pa.Table:
         ids = t.column("doc_id").to_numpy(zero_copy_only=False)
-        t = t.filter(pa.array(ids % n_shards == shard))
+        t = t.filter(pa.array(np.isin(ids % n_shards, pending_arr)))
         if len(t) == 0:
-            return pa.table({"kind": pa.array([], type=pa.int8()),
-                             "doc_id": pa.array([], type=pa.int64()),
-                             "tok": pa.array([], type=pa.uint64()),
-                             "m": pa.array([], type=pa.int64()),
-                             "lang": pa.array([], type=pa.string()),
-                             "n_chars": pa.array([], type=pa.int64())})
-        # (a) shard token counts over ALL docs (benchmark included —
-        # the oracle's freq CTE is over the whole table)
+            return pa.table({
+                "kind": pa.array([], type=pa.int8()),
+                "doc_id": pa.array([], type=pa.int64()),
+                "tok": pa.array([], type=pa.uint64()),
+                "m": pa.array([], type=pa.int64()),
+                "kept": pa.array([], type=pa.bool_()),
+                "lang": pa.array([], type=pa.string()),
+                "n_chars": pa.array([], type=pa.int64()),
+                "__shard": pa.array([], type=pa.int64())})
+        # (a) per-doc token partials over ALL docs
         dt_all = doc_token_partials(t, "text", "doc_id")
-        tok_a = dt_all.column("tok").to_numpy(zero_copy_only=False)
-        m_a = dt_all.column("m").to_numpy(zero_copy_only=False)
-        u, inv = np.unique(tok_a, return_inverse=True)
-        c = np.bincount(inv, weights=m_a).astype(np.int64)
-        n_tok = len(u)
+        dt_ids = dt_all.column("doc_id").to_numpy(zero_copy_only=False)
         # (b) prefilter: drop benchmark rows, repeated-token docs and
         # contaminated docs BEFORE anything shuffles
         ids = t.column("doc_id").to_numpy(zero_copy_only=False)
         corpus = t.filter(pa.array(ids % 97 != 0))
         if len(corpus):
-            from proj_ray.pipelines.queries import (_CURATE_DUP_MAX)
+            from proj_ray.pipelines.queries import _CURATE_DUP_MAX
 
             rep = repetition_stats_batch(corpus)
             dup = rep.column("dup_token_frac") \
@@ -85,55 +127,84 @@ def _shard_tables(sf_dir: str, shard: int, n_shards: int,
                 corpus, get_broadcast(bench_ref), 3)
             corpus = corpus.filter(
                 pa.array((dup <= _CURATE_DUP_MAX) & (hits == 0)))
-        dt_kept = doc_token_partials(corpus, "text", "doc_id")
-        n_dt = len(dt_kept)
-        n_kept = len(corpus)
-        # one uniform-schema table: kind 0 = tokc, 1 = doctok, 2 = kept
-        none_s = pa.nulls(n_tok + n_dt, type=pa.string())
-        none_i = pa.nulls(n_tok + n_dt, type=pa.int64())
+        kept_ids = corpus.column("doc_id").to_numpy(zero_copy_only=False)
+        n_tok, n_kept = len(dt_all), len(corpus)
+        none_s = pa.nulls(n_tok, type=pa.string())
+        none_i = pa.nulls(n_tok, type=pa.int64())
         return pa.table({
             "kind": pa.array(np.repeat(
-                np.array([0, 1, 2], dtype=np.int8),
-                [n_tok, n_dt, n_kept])),
+                np.array([0, 2], dtype=np.int8), [n_tok, n_kept])),
             "doc_id": pa.concat_arrays([
-                pa.array(np.full(n_tok, -1, dtype=np.int64)),
-                dt_kept.column("doc_id").combine_chunks().cast(
+                dt_all.column("doc_id").combine_chunks().cast(
                     pa.int64()),
-                corpus.column("doc_id").combine_chunks()]),
+                corpus.column("doc_id").combine_chunks().cast(
+                    pa.int64())]),
             "tok": pa.concat_arrays([
-                pa.array(u), dt_kept.column("tok").combine_chunks(),
+                dt_all.column("tok").combine_chunks(),
                 pa.array(np.zeros(n_kept, dtype=np.uint64))]),
             "m": pa.concat_arrays([
-                pa.array(c), dt_kept.column("m").combine_chunks(),
+                dt_all.column("m").combine_chunks().cast(pa.int64()),
                 pa.array(np.zeros(n_kept, dtype=np.int64))]),
+            "kept": pa.array(np.concatenate([
+                np.isin(dt_ids, kept_ids),
+                np.ones(n_kept, dtype=bool)])),
             "lang": pa.concat_arrays([
                 none_s, corpus.column("lang").combine_chunks()]),
             "n_chars": pa.concat_arrays([
-                none_i, corpus.column("n_chars").combine_chunks()]),
+                none_i, corpus.column("n_chars").combine_chunks()
+                .cast(pa.int64())]),
+            "__shard": pa.array(np.concatenate([
+                dt_ids % n_shards, kept_ids % n_shards])
+                .astype(np.int64)),
         })
 
-    rows = pa.concat_tables(
-        ds.map_batches(per_batch, batch_format="pyarrow")
-        .iter_batches(batch_format="pyarrow"), promote_options="default")
-    kind = rows.column("kind").to_numpy(zero_copy_only=False)
-    tokc = rows.filter(pa.array(kind == 0)).select(["tok", "m"])
-    # shard-level combine: the same token appears in many batches
-    tokc = tokc.group_by(["tok"]).aggregate([("m", "sum")]) \
-        .rename_columns(["tok", "c"])
-    doctok = rows.filter(pa.array(kind == 1)) \
+    return ds.map_batches(per_batch, batch_format="pyarrow")
+
+
+def _write_shard_group(t: pa.Table, root: str, config: dict) -> pa.Table:
+    """map_groups body: combine ONE shard's tagged rows into the three
+    checkpoint tables and write them (atomically, manifest last) from
+    inside the worker — shards checkpoint in parallel, nothing reaches
+    the driver but a one-row ack."""
+    from proj_ray.state.checkpoint import CheckpointWriter
+
+    shard = int(t.column("__shard")[0].as_py())
+    pid = f"shard-{shard:05d}"
+    kind = t.column("kind").to_numpy(zero_copy_only=False)
+    tokrows = t.filter(pa.array(kind == 0))
+    tokc = tokrows.select(["tok", "m"]).group_by(["tok"]) \
+        .aggregate([("m", "sum")]).rename_columns(["tok", "c"])
+    keptmask = tokrows.column("kept").to_numpy(zero_copy_only=False)
+    doctok = tokrows.filter(pa.array(keptmask)) \
         .select(["doc_id", "tok", "m"])
-    kept = rows.filter(pa.array(kind == 2)) \
+    kept = t.filter(pa.array(kind == 2)) \
         .select(["doc_id", "lang", "n_chars"])
-    return {"tokc": tokc, "doctok": doctok, "kept": kept}
+    tables = {"tokc": tokc, "doctok": doctok, "kept": kept}
+    for name, tbl in tables.items():
+        if tbl.num_rows == 0:
+            tbl = _empty_shard_table(name)
+        CheckpointWriter(f"{root}/{name}", config).write_partition(
+            pid, tbl,
+            lineage={"partition": pid,
+                     "shard_mod": [shard, config["n_shards"]]},
+            metrics={"rows": tbl.num_rows})
+    return pa.table({"shard": pa.array([shard], type=pa.int64()),
+                     "kept_rows": pa.array([kept.num_rows],
+                                           type=pa.int64())})
+
 
 
 def resumable_corpus_curation(sf_dir: str, root: str,
                               n_shards: int = 8,
-                              num_buckets: int = 32):
+                              num_buckets: int = 32,
+                              max_shards_per_run=None):
     """Run (or resume) the curation pipeline; returns
     (summary_table, n_shards_computed, n_shards_skipped).  The summary
     is identical to `q_corpus_curation(sf_dir)` regardless of where a
-    previous run was killed."""
+    previous run was killed.  `max_shards_per_run` caps how many
+    pending shards ONE invocation checkpoints; when shards remain
+    after the cap, the run raises IncompleteRunError (the written
+    checkpoints stay valid — re-invoke to continue)."""
     import ray
     import ray.data as rd
 
@@ -167,16 +238,34 @@ def resumable_corpus_curation(sf_dir: str, root: str,
     writers = {name: CheckpointWriter(f"{root}/{name}", config)
                for name in ("tokc", "doctok", "kept")}
     pids = [f"shard-{i:05d}" for i in range(n_shards)]
-    pending = [p for p in pids
+    pending = [int(p.split("-")[1]) for p in pids
                if not all(w.is_done(p) for w in writers.values())]
-    for pid in pending:
-        i = int(pid.split("-")[1])
-        tables = _shard_tables(sf_dir, i, n_shards, bench_ref)
-        for name, w in writers.items():
-            w.write_partition(
-                pid, tables[name],
-                lineage={"partition": pid, "shard_mod": [i, n_shards]},
-                metrics={"rows": tables[name].num_rows})
+    run_now, remaining = pending, []
+    if max_shards_per_run is not None \
+            and len(pending) > max_shards_per_run:
+        run_now = pending[:max_shards_per_run]
+        remaining = pending[max_shards_per_run:]
+    if run_now:
+        # one corpus read for ALL shards being processed; each shard
+        # combines and checkpoints inside its own map_groups task
+        acks = _tagged_shard_rows(sf_dir, run_now, n_shards, bench_ref) \
+            .groupby("__shard").map_groups(
+                lambda t: _write_shard_group(t, root, config),
+                batch_format="pyarrow").take_all()
+        written = {int(a["shard"]) for a in acks}
+        for i in run_now:
+            if i not in written:  # shard with zero rows: no group ran
+                for name, w in writers.items():
+                    w.write_partition(
+                        f"shard-{i:05d}", _empty_shard_table(name),
+                        lineage={"partition": f"shard-{i:05d}",
+                                 "shard_mod": [i, n_shards]},
+                        metrics={"rows": 0})
+    if remaining:
+        raise IncompleteRunError(
+            f"{len(remaining)} of {len(pending)} pending shards remain "
+            f"after max_shards_per_run={max_shards_per_run}; re-invoke "
+            f"to continue")
 
     def _paths(name: str):
         return [f"{root}/{name}/part={p}/data.parquet" for p in pids]
@@ -274,4 +363,4 @@ def resumable_corpus_curation(sf_dir: str, root: str,
         ["split", "lang"], [("n_docs", "sum"), ("n_chars", "sum")])
     tbl = pa.concat_tables(summary.iter_batches(batch_format="pyarrow"),
                            promote_options="default")
-    return tbl, len(pending), n_shards - len(pending)
+    return tbl, len(run_now), n_shards - len(run_now)

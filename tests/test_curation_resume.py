@@ -30,24 +30,17 @@ def test_resumable_matches_oneshot(ray_session, tmp_path, oneshot):
 
 
 def test_kill_after_n_shards_resumes_identically(
-        ray_session, tmp_path, oneshot, monkeypatch):
+        ray_session, tmp_path, oneshot):
+    """A run that stops after 2 of 5 shards (max_shards_per_run — the
+    checkpoint state is indistinguishable from a kill between shard
+    groups) must resume by recomputing ONLY the 3 missing shards and
+    still reproduce the one-shot summary."""
     import proj_ray.pipelines.curation as cur
 
     root = str(tmp_path / "ckpt2")
-    real = cur._shard_tables
-    calls = {"n": 0}
-
-    def dying(*args, **kwargs):
-        calls["n"] += 1
-        if calls["n"] > 2:
-            raise RuntimeError("simulated mid-run kill")
-        return real(*args, **kwargs)
-
-    monkeypatch.setattr(cur, "_shard_tables", dying)
-    with pytest.raises(RuntimeError, match="simulated"):
+    with pytest.raises(cur.IncompleteRunError, match="3 of 5"):
         cur.resumable_corpus_curation("/root/testdata/sf0.001", root,
-                                      n_shards=5)
-    monkeypatch.setattr(cur, "_shard_tables", real)
+                                      n_shards=5, max_shards_per_run=2)
 
     # resume: the two finished shards must be skipped, the summary
     # must equal the one-shot pipeline's
