@@ -202,6 +202,12 @@ def run_bench() -> dict:
         "docs_per_sec": round(BENCH_DOCS / headline, 1),
         "tiles": n_tiles,
         "host_yardstick_sec": host_yardstick(),
+        # external tenants on a shared host barely move the
+        # single-thread yardstick but starve 32-way stages; the
+        # 1-minute load average taken with zero own work running is
+        # the direct signal (measured: loadavg 9 with an idle repo ->
+        # shuffle-heavy queries 2-4x their quiet-window times)
+        "host_loadavg_1m": round(os.getloadavg()[0], 2),
     }
 
 
@@ -283,6 +289,7 @@ def run_scaling() -> dict:
             min(eff / host["host_ceiling"], 1.0) if host["host_ceiling"]
             else eff, 3),
         "bench_docs": out[32]["bench_docs"],
+        "host_loadavg_1m": round(os.getloadavg()[0], 2),
     }
 
 
