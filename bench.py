@@ -154,6 +154,10 @@ def host_yardstick() -> float:
 def run_bench() -> dict:
     import ray
 
+    # loadavg BEFORE any own work: after the run it mostly measures
+    # our own just-exited workers, not the external tenants
+    load0 = round(os.getloadavg()[0], 2)
+
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
              ignore_reinit_error=True, logging_level="ERROR")
     import ray.data
@@ -207,7 +211,7 @@ def run_bench() -> dict:
         # 1-minute load average taken with zero own work running is
         # the direct signal (measured: loadavg 9 with an idle repo ->
         # shuffle-heavy queries 2-4x their quiet-window times)
-        "host_loadavg_1m": round(os.getloadavg()[0], 2),
+        "host_loadavg_1m": load0,
     }
 
 
@@ -252,6 +256,7 @@ def run_scaling() -> dict:
     # twice in fresh sessions and the BEST run represents the engine;
     # all samples are reported.
     reps = int(os.environ.get("GRAFT_SCALING_REPS", "2"))
+    load0 = round(os.getloadavg()[0], 2)
     out = {}
     samples = {}
     for ncpu in (8, 32):
@@ -289,7 +294,7 @@ def run_scaling() -> dict:
             min(eff / host["host_ceiling"], 1.0) if host["host_ceiling"]
             else eff, 3),
         "bench_docs": out[32]["bench_docs"],
-        "host_loadavg_1m": round(os.getloadavg()[0], 2),
+        "host_loadavg_1m": load0,
     }
 
 
