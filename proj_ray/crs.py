@@ -197,6 +197,9 @@ class Datum:
     name: str
     ellipsoid: Ellipsoid
     towgs84: Optional[List[float]] = None
+    # NTv2 lat/lon difference grid (BOUNDCRS PARAMETERFILE / proj
+    # +nadgrids); mutually exclusive with towgs84 on one datum
+    nadgrids: Optional[str] = None
     prime_meridian_deg: float = 0.0
     prime_meridian_name: str = "Greenwich"
 
@@ -293,6 +296,8 @@ class CRS:
         if d.towgs84 is not None:
             tokens.append("towgs84=" + ",".join(_fmt_num(v)
                                                 for v in d.towgs84))
+        elif d.nadgrids is not None:
+            tokens.append(f"nadgrids={d.nadgrids}")
         if self.kind in ("projected", "geocentric"):
             if abs(self.unit_to_meter - 1.0) < 1e-12:
                 tokens.append("units=m")
@@ -397,6 +402,23 @@ class CRS:
                     "parameters": _towgs84_projjson(d.towgs84),
                 },
             }
+        elif d.nadgrids is not None:
+            out = {
+                "$schema": out.pop("$schema"),
+                "type": "BoundCRS",
+                "source_crs": out,
+                "target_crs": {"type": "GeographicCRS", "name": "WGS 84"},
+                "transformation": {
+                    "name": f"Transformation from {d.name} to WGS84",
+                    "method": {"name": "NTv2",
+                               "id": {"authority": "EPSG", "code": 9615}},
+                    "parameters": [{
+                        "name": "Latitude and longitude difference file",
+                        "value": d.nadgrids,
+                        "id": {"authority": "EPSG", "code": 8656},
+                    }],
+                },
+            }
         return out
 
     def to_wkt(self) -> str:
@@ -448,9 +470,26 @@ class CRS:
         return _maybe_bound(self, body)
 
 
+_WGS84_TARGET_WKT = (
+    'TARGETCRS[GEOGCRS["WGS 84",'
+    'DATUM["World Geodetic System 1984",'
+    'ELLIPSOID["WGS 84",6378137,298.257223563,'
+    'LENGTHUNIT["metre",1]]],CS[ellipsoidal,2],'
+    'AXIS["latitude",north],AXIS["longitude",east],'
+    'ANGLEUNIT["degree",0.0174532925199433]]]')
+
+
 def _maybe_bound(crs: CRS, inner: str) -> str:
     tw = crs.datum.towgs84
     if tw is None:
+        if crs.datum.nadgrids is not None:
+            return (f'BOUNDCRS[SOURCECRS[{inner}],'
+                    f'{_WGS84_TARGET_WKT},'
+                    f'ABRIDGEDTRANSFORMATION['
+                    f'"Transformation from {crs.datum.name} to WGS84",'
+                    f'METHOD["NTv2",ID["EPSG",9615]],'
+                    f'PARAMETERFILE["Latitude and longitude difference '
+                    f'file","{crs.datum.nadgrids}"]]]')
         return inner
     tw7 = list(tw) + [0.0] * (7 - len(tw))
     names = ["X-axis translation", "Y-axis translation",
@@ -459,12 +498,7 @@ def _maybe_bound(crs: CRS, inner: str) -> str:
     params = ",".join(f'PARAMETER["{n}",{_fmt_num(v)}]'
                       for n, v in zip(names, tw7))
     return (f'BOUNDCRS[SOURCECRS[{inner}],'
-            f'TARGETCRS[GEOGCRS["WGS 84",'
-            f'DATUM["World Geodetic System 1984",'
-            f'ELLIPSOID["WGS 84",6378137,298.257223563,'
-            f'LENGTHUNIT["metre",1]]],CS[ellipsoidal,2],'
-            f'AXIS["latitude",north],AXIS["longitude",east],'
-            f'ANGLEUNIT["degree",0.0174532925199433]]],'
+            f'{_WGS84_TARGET_WKT},'
             f'ABRIDGEDTRANSFORMATION['
             f'"Transformation from {crs.datum.name} to WGS84",'
             f'METHOD["Position Vector transformation (geog2D domain)"],'
@@ -967,6 +1001,26 @@ def _crs_from_wkt_node(node: WktNode) -> CRS:
             raise ProjError("BOUNDCRS without SOURCECRS")
         crs = _crs_from_wkt_node(src.values[0])
         if tr is not None:
+            # grid-based transformation (EPSG 9615 NTv2): the
+            # PARAMETERFILE names the lat/lon difference grid.  Never
+            # silently drop an unrecognized file parameter — that
+            # yields towgs84=0,0,0 and a silently wrong answer.
+            pfiles = tr.children("PARAMETERFILE")
+            if pfiles:
+                if len(pfiles) > 1:
+                    raise ProjError("BOUNDCRS: multiple PARAMETERFILEs "
+                                    "are not supported")
+                pf = pfiles[0]
+                role = _norm(pf.str0())
+                vals = [v for v in pf.values[1:] if isinstance(v, str)]
+                if role != "latitudeandlongitudedifferencefile" \
+                        or not vals:
+                    raise ProjError(
+                        f"BOUNDCRS: unsupported PARAMETERFILE "
+                        f"{pf.str0()!r} (only the NTv2 latitude and "
+                        f"longitude difference file is supported)")
+                crs.datum.nadgrids = vals[0]
+                return crs
             tw = [0.0] * 7
             order = {"xaxistranslation": 0, "yaxistranslation": 1,
                      "zaxistranslation": 2, "xaxisrotation": 3,
@@ -1153,12 +1207,25 @@ def _crs_from_projjson(obj: dict) -> CRS:
     if t == "BoundCRS":
         crs = _crs_from_projjson(obj["source_crs"])
         tr = obj.get("transformation", {})
+        params = tr.get("parameters", [])
+        pfiles = [p for p in params if isinstance(p.get("value"), str)]
+        if pfiles:
+            # grid-based transformation: never silently read a file
+            # parameter as towgs84 zeros
+            if len(pfiles) > 1 or _norm(pfiles[0].get("name", "")) != \
+                    "latitudeandlongitudedifferencefile":
+                raise ProjError(
+                    "BoundCRS: unsupported file parameter "
+                    f"{pfiles[0].get('name')!r} (only the NTv2 latitude "
+                    "and longitude difference file is supported)")
+            crs.datum.nadgrids = pfiles[0]["value"]
+            return crs
         tw = [0.0] * 7
         order = {"xaxistranslation": 0, "yaxistranslation": 1,
                  "zaxistranslation": 2, "xaxisrotation": 3,
                  "yaxisrotation": 4, "zaxisrotation": 5,
                  "scaledifference": 6}
-        for p in tr.get("parameters", []):
+        for p in params:
             idx = order.get(_norm(p.get("name", "")))
             if idx is not None:
                 tw[idx] = float(p.get("value", 0.0))
@@ -1235,7 +1302,9 @@ def _crs_from_proj_string(defn: str, name: str = "") -> CRS:
         pm_s = params.s("pm")
         pm_deg = parse_angle_deg(PRIME_MERIDIANS.get(pm_s, pm_s))
     datum = Datum(name or "unknown", Ellipsoid("unknown", ell.a, rf),
-                  towgs84=towgs84, prime_meridian_deg=pm_deg)
+                  towgs84=towgs84,
+                  nadgrids=params.s("nadgrids") or None,
+                  prime_meridian_deg=pm_deg)
     if proj in ("longlat", "latlong", "lonlat", "latlon"):
         return CRS(kind="geographic", name=name or "unknown", datum=datum,
                    axis_lat_first=proj.startswith("lat"))

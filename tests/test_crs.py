@@ -691,3 +691,74 @@ def test_prepared_crs_to_crs_ballpark_fallback():
     want = transform_arrays(ref, lon, lat)
     np.testing.assert_allclose(got.x, want.x, atol=1e-9)
     np.testing.assert_allclose(got.y, want.y, atol=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# BOUNDCRS with a grid-based transformation (NTv2 PARAMETERFILE)
+# ---------------------------------------------------------------------------
+
+BOUNDCRS_DHDN_NTV2 = """
+BOUNDCRS[
+  SOURCECRS[GEOGCRS["DHDN",
+    DATUM["Deutsches Hauptdreiecksnetz",
+      ELLIPSOID["Bessel 1841",6377397.155,299.1528128]],
+    CS[ellipsoidal,2],
+    AXIS["latitude",north],AXIS["longitude",east],
+    ANGLEUNIT["degree",0.0174532925199433]]],
+  TARGETCRS[GEOGCRS["WGS 84",
+    DATUM["World Geodetic System 1984",
+      ELLIPSOID["WGS 84",6378137,298.257223563]],
+    CS[ellipsoidal,2],
+    AXIS["latitude",north],AXIS["longitude",east],
+    ANGLEUNIT["degree",0.0174532925199433]]],
+  ABRIDGEDTRANSFORMATION["DHDN to WGS 84 (BeTA2007)",
+    METHOD["NTv2",ID["EPSG",9615]],
+    PARAMETERFILE["Latitude and longitude difference file",
+                  "BETA2007.gsb"]]]
+"""
+
+
+def test_boundcrs_ntv2_parameterfile_parses():
+    crs = CRS.from_wkt(BOUNDCRS_DHDN_NTV2)
+    assert crs.kind == "geographic"
+    assert crs.datum.towgs84 is None
+    assert crs.datum.nadgrids == "BETA2007.gsb"
+    assert "nadgrids=BETA2007.gsb" in crs.to_proj_string()
+
+
+def test_boundcrs_ntv2_matches_gie_expectations():
+    """crs_to_crs over the grid-bound DHDN CRS must reproduce the
+    reference's DHDN_ETRS89.gie values (real BETA2007.gsb, 1 mm):
+    gie inverse case at DHDN_ETRS89.gie:16."""
+    crs = CRS.from_wkt(BOUNDCRS_DHDN_NTV2)
+    p = crs_to_crs(crs, "+proj=longlat +ellps=WGS84 +towgs84=0,0,0")
+    r = transform_arrays(p, np.array([7.483333333333]),
+                         np.array([53.5]))
+    assert r.err[0] == 0
+    # 1 mm ~ 9e-9 deg latitude at this latitude
+    np.testing.assert_allclose(r.x, [7.482506019176], atol=1.5e-8)
+    np.testing.assert_allclose(r.y, [53.498461143331], atol=1.0e-8)
+
+
+def test_boundcrs_ntv2_roundtrips_wkt_and_projjson():
+    crs = CRS.from_wkt(BOUNDCRS_DHDN_NTV2)
+    back = CRS.from_wkt(crs.to_wkt())
+    assert back.datum.nadgrids == "BETA2007.gsb"
+    import json as _json
+
+    back2 = CRS.from_projjson(_json.dumps(crs.to_projjson()))
+    assert back2.datum.nadgrids == "BETA2007.gsb"
+    # proj-string round-trip too (from_user_input rejects proj
+    # strings by design; the parser is the internal entry)
+    from proj_ray.crs import _crs_from_proj_string
+
+    back3 = _crs_from_proj_string(crs.to_proj_string())
+    assert back3.datum.nadgrids == "BETA2007.gsb"
+
+
+def test_boundcrs_unsupported_parameterfile_is_loud():
+    wkt = BOUNDCRS_DHDN_NTV2.replace(
+        "Latitude and longitude difference file",
+        "Geoid (height correction) model file")
+    with pytest.raises(ProjError, match="PARAMETERFILE"):
+        CRS.from_wkt(wkt)
