@@ -781,76 +781,58 @@ def ngram_jaccard_pairs(docs_ds, jaccard_threshold: float = 0.8,
                             np.ascontiguousarray(mat_g[gorder]),
                             sz_g[gorder]))
 
-        def part_pairs_dense(t: pa.Table) -> pa.Table:
+        # all-pairs blocked bitset scan: in this regime the prefix
+        # filter DEGENERATES (vocab << docs, so every prefix run is
+        # huge — measured 29 M candidate occurrences for 256 true
+        # pairs at sf0.1) while the whole packed table is already
+        # broadcast and n_docs is bounded by the _DENSE_SIG_BYTES
+        # gate, so the candidate volume is inherently ~n^2 either
+        # way.  Scanning each task's rows against the full table at
+        # memory bandwidth removes the prefix explode, the candidate
+        # shuffle and the per-run pair explosion (measured 22 s ->
+        # ~2 s at sf0.1).  Each unordered pair is emitted exactly
+        # once: a doc lives in one sigs row, and a row only pairs
+        # with strictly-later docs in the broadcast order.
+        def all_pairs_dense(t: pa.Table) -> pa.Table:
             from proj_ray.stages.hashing import popcount64
 
             empty = pa.table({"doc_a": pa.array([], type=pa.int64()),
                               "doc_b": pa.array([], type=pa.int64()),
                               "jaccard": pa.array([], type=pa.float64())})
-            sh = t.column("shingle").to_numpy(zero_copy_only=False)
-            doc = t.column("doc_id").to_numpy(zero_copy_only=False)
-            nsh = t.column("nsh").to_numpy(zero_copy_only=False)
-            rnk = t.column("rnk").to_numpy(zero_copy_only=False)
-            order = np.lexsort((doc, sh))
-            sh, doc, nsh, rnk = (sh[order], doc[order], nsh[order],
-                                 rnk[order])
-            n = len(doc)
-            if n < 2:
+            ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+            if len(ids) == 0:
                 return empty
             all_ids, all_mat, all_sz = get_broadcast(pack_ref)
-            new_run = np.empty(n, dtype=bool)
-            new_run[0] = True
-            new_run[1:] = sh[1:] != sh[:-1]
-            starts = np.flatnonzero(new_run)
-            lens = np.diff(np.append(starts, n))
-            out_a, out_b = [], []
-            for ri in np.flatnonzero(lens >= 2):
-                s0, ln = starts[ri], lens[ri]
-                ids, sz, rk = (doc[s0:s0 + ln], nsh[s0:s0 + ln],
-                               rnk[s0:s0 + ln])
-                uniq, first = np.unique(ids, return_index=True)
-                if len(uniq) < 2:
+            ra = np.searchsorted(all_ids, ids)
+            out_a, out_b, out_j = [], [], []
+            for a in ra:
+                cand = np.arange(a + 1, len(all_ids))
+                if not len(cand):
                     continue
-                sz, rk = sz[first], rk[first]
-                i, j = np.triu_indices(len(uniq), 1)
-                ok = np.minimum(sz[i], sz[j]) \
-                    >= jaccard_threshold * np.maximum(sz[i], sz[j])
-                # PPJoin positional filter (see the sparse path): cuts
-                # the popcount-verify volume, completeness preserved by
-                # the any-shared-token OR across partitions
-                alpha = (jaccard_threshold
-                         / (1.0 + jaccard_threshold)) * (sz[i] + sz[j])
-                ok &= np.minimum(sz[i] - rk[i], sz[j] - rk[j]) \
-                    >= alpha - 1e-9
-                if ok.any():
-                    out_a.append(uniq[i[ok]])
-                    out_b.append(uniq[j[ok]])
+                sza, szc = all_sz[a], all_sz[cand]
+                ok = np.minimum(sza, szc) \
+                    >= jaccard_threshold * np.maximum(sza, szc)
+                cand = cand[ok]
+                if not len(cand):
+                    continue
+                inter = popcount64(all_mat[cand] & all_mat[a]) \
+                    .reshape(len(cand), words).sum(axis=1)
+                jac = inter / (sza + all_sz[cand] - inter)
+                keep = jac >= jaccard_threshold
+                if keep.any():
+                    out_a.append(np.full(int(keep.sum()),
+                                         all_ids[a], dtype=np.int64))
+                    out_b.append(all_ids[cand[keep]])
+                    out_j.append(jac[keep])
             if not out_a:
                 return empty
-            # a dense-vocab pair is typically generated by MANY shared
-            # prefix shingles in the same partition — dedupe the
-            # candidate ids FIRST so each pair pays the AND+popcount
-            # verify exactly once
-            ca, cb = _dedupe_pairs(np.concatenate(out_a),
-                                   np.concatenate(out_b))
-            ra = np.searchsorted(all_ids, ca)
-            rb = np.searchsorted(all_ids, cb)
-            inter = popcount64(all_mat[ra] & all_mat[rb]) \
-                .reshape(len(ca), words).sum(axis=1)
-            union = all_sz[ra] + all_sz[rb] - inter
-            jac = inter / union
-            keep = jac >= jaccard_threshold
-            if not keep.any():
-                return empty
-            return pa.table({"doc_a": pa.array(ca[keep]),
-                             "doc_b": pa.array(cb[keep]),
-                             "jaccard": pa.array(jac[keep])})
+            return pa.table({
+                "doc_a": pa.array(np.concatenate(out_a)),
+                "doc_b": pa.array(np.concatenate(out_b)),
+                "jaccard": pa.array(np.concatenate(out_j))})
 
-        verified = prefix.groupby("__part").map_groups(
-            part_pairs_dense, batch_format="pyarrow")
-        verified = hash_shuffle_aggregate(
-            verified, ["doc_a", "doc_b"], [("jaccard", "max")],
-            num_buckets=8)
+        verified = sigs.map_batches(all_pairs_dense,
+                                    batch_format="pyarrow")
         df = verified.to_pandas()
         if df.empty:
             return pd.DataFrame({
