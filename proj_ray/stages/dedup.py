@@ -551,11 +551,14 @@ def ngram_jaccard_pairs(docs_ds, jaccard_threshold: float = 0.8,
     join switches shape: each doc's shingle set packs into a V-bit
     bitset (vocab-indexed uint64 words), the whole packed signature
     table broadcasts once (n_docs x V/8 bytes — the gate checks it
-    fits), and candidates are verified INLINE in the generation
-    partition with vectorized AND+popcount.  Only true pairs ever leave
-    the partition — no candidate shuffle, no merge sort.  Completeness
-    is unchanged: the same prefix-filter candidate set is enumerated,
-    each candidate just meets its exact Jaccard immediately."""
+    fits), and each task scans its rows against the full broadcast
+    table at memory bandwidth (size-ratio pre-filter, then vectorized
+    AND+popcount verify against all strictly-later docs — each
+    unordered pair visited exactly once).  The candidate volume is
+    inherently ~n^2 in this regime either way; the blocked scan pays
+    it in SIMD popcounts instead of a candidate explode + shuffle.
+    Only true pairs ever leave the task — no candidate shuffle, no
+    merge sort.  Completeness is trivial: every pair is examined."""
     import ray
 
     from proj_ray.stages.agg import hash_shuffle_aggregate
